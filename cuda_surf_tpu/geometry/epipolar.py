@@ -1,0 +1,176 @@
+"""Two-view geometry: batched 8-point essential matrix + RANSAC + pose.
+
+New capability on top of the SURF frontend (BASELINE.json configs 2-3).
+RANSAC is reformulated TPU-first: instead of a sequential hypothesize-
+and-verify loop, a static batch of H hypotheses is sampled, solved and
+scored entirely in parallel (vmap over the hypothesis axis; the minimal
+solver is an eigendecomposition of the 9x9 normal matrix, the scoring a
+dense Sampson-error matrix) -- RANSAC is embarrassingly parallel and maps
+onto the VPU/MXU as batched linear algebra.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import f32_matmuls
+
+
+class TwoViewResult(NamedTuple):
+    E: jnp.ndarray          # (3, 3) essential matrix
+    R: jnp.ndarray          # (3, 3) rotation cam1 -> cam2
+    t: jnp.ndarray          # (3,) unit translation
+    inliers: jnp.ndarray    # (K,) bool
+    n_inliers: jnp.ndarray  # () int32
+    points3d: jnp.ndarray   # (K, 3) triangulated (in cam1 frame)
+
+
+def _normalize_pts(p, mask):
+    """Hartley normalization over masked points: zero mean, mean dist sqrt(2)."""
+    wsum = jnp.maximum(mask.sum(), 1.0)
+    mean = (p * mask[:, None]).sum(0) / wsum
+    d = jnp.sqrt(((p - mean) ** 2).sum(-1))
+    scale = jnp.sqrt(2.0) / jnp.maximum((d * mask).sum() / wsum, 1e-12)
+    T = jnp.array([[scale, 0, -scale * mean[0]],
+                   [0, scale, -scale * mean[1]],
+                   [0, 0, 1.0]], p.dtype)
+    return (p - mean) * scale, T
+
+
+def _eight_point(x1, x2, mask):
+    """Essential matrix from >= 8 normalized-camera correspondences.
+
+    Smallest eigenvector of A^T A (9x9 eigh -- batched-friendly on TPU),
+    then projection onto the essential manifold via 3x3 SVD.
+    """
+    p1, T1 = _normalize_pts(x1, mask)
+    p2, T2 = _normalize_pts(x2, mask)
+    u1, v1 = p1[:, 0], p1[:, 1]
+    u2, v2 = p2[:, 0], p2[:, 1]
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1,
+                   jnp.ones_like(u1)], -1)
+    A = A * mask[:, None]
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    F = vecs[:, 0].reshape(3, 3)
+    F = T2.T @ F @ T1
+    U, s, Vt = jnp.linalg.svd(F)
+    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
+    return E
+
+
+@f32_matmuls
+def sampson_error(E, x1, x2):
+    """Squared Sampson distance in normalized coordinates."""
+    ones = jnp.ones((*x1.shape[:-1], 1), x1.dtype)
+    h1 = jnp.concatenate([x1, ones], -1)
+    h2 = jnp.concatenate([x2, ones], -1)
+    Ex1 = h1 @ E.T
+    Etx2 = h2 @ E
+    num = jnp.sum(h2 * Ex1, -1) ** 2
+    den = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+@f32_matmuls
+def triangulate(R, t, x1, x2):
+    """Batched DLT triangulation for cameras [I|0] and [R|t].
+
+    4x4 symmetric eigenproblem per point (smallest eigenvector of A^T A).
+    Returns (K, 3) points in cam1 frame.
+    """
+    P1 = jnp.concatenate([jnp.eye(3, dtype=R.dtype),
+                          jnp.zeros((3, 1), R.dtype)], 1)
+    P2 = jnp.concatenate([R, t[:, None]], 1)
+
+    def rows(P, x):
+        return jnp.stack([x[..., 0, None] * P[2] - P[0],
+                          x[..., 1, None] * P[2] - P[1]], -2)
+
+    A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], -2)  # (K, 4, 4)
+    AtA = jnp.einsum("kij,kil->kjl", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[..., 0]
+    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < 1e-12,
+                                  jnp.sign(X[..., 3:]) * 1e-12 + 1e-12,
+                                  X[..., 3:])
+
+
+def _cheirality(R, t, x1, x2, mask):
+    X = triangulate(R, t, x1, x2)
+    z1 = X[:, 2]
+    z2 = (X @ R.T + t)[:, 2]
+    return ((z1 > 0) & (z2 > 0) & mask).sum(), X
+
+
+@f32_matmuls
+def recover_pose(E, x1, x2, mask):
+    """Decompose E into the 4 (R, t) candidates, pick by cheirality."""
+    U, _, Vt = jnp.linalg.svd(E)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    U = U * d  # ensure proper rotations
+    W = jnp.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], E.dtype)
+    Ra = U @ W @ Vt
+    Rb = U @ W.T @ Vt
+    tu = U[:, 2]
+    cands = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
+    counts, Xs = zip(*[_cheirality(R, t, x1, x2, mask) for R, t in cands])
+    counts = jnp.stack(counts)
+    best = jnp.argmax(counts)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    Xstack = jnp.stack(Xs)
+    return Rs[best], ts[best], Xstack[best]
+
+
+@f32_matmuls
+def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
+                     key: jax.Array, n_hypotheses: int = 512,
+                     inlier_thresh: float = 1e-4) -> TwoViewResult:
+    """Parallel-hypothesis RANSAC for E from normalized correspondences.
+
+    x1, x2: (K, 2) normalized camera coordinates; valid: (K,) mask.
+    inlier_thresh: squared Sampson distance threshold (normalized coords).
+    """
+    k = x1.shape[0]
+    count = jnp.maximum(valid.sum(), 1)
+    # valid-first compaction of indices, sample mod count
+    order = jnp.argsort(~valid)  # stable: valid rows first
+    raw = jax.random.randint(key, (n_hypotheses, 8), 0, jnp.iinfo(jnp.int32).max)
+    sample = order[raw % count]  # (H, 8) indices of valid rows
+
+    def solve_one(idx):
+        m = jnp.ones(8, x1.dtype)
+        return _eight_point(x1[idx], x2[idx], m)
+
+    Es = jax.vmap(solve_one)(sample)                       # (H, 3, 3)
+    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, K)
+    inl = (errs < inlier_thresh) & valid[None, :]
+    scores = inl.sum(1)
+    best = jnp.argmax(scores)
+
+    # Guided refits on the consensus set (two rounds of least-squares on
+    # inliers, re-scoring after each) — recovers accuracy the 8-sample
+    # minimal fit can't reach in float32.
+    E, inliers = Es[best], inl[best]
+    n_best = scores[best]
+    for _ in range(2):
+        E_new = _eight_point(x1, x2, inliers.astype(x1.dtype))
+        err = sampson_error(E_new, x1, x2)
+        inl_new = (err < inlier_thresh) & valid
+        use = inl_new.sum() >= n_best
+        E = jnp.where(use, E_new, E)
+        inliers = jnp.where(use, inl_new, inliers)
+        n_best = jnp.maximum(inl_new.sum(), n_best)
+
+    R, t, X = recover_pose(E, x1, x2, inliers)
+    return TwoViewResult(E=E, R=R, t=t, inliers=inliers,
+                         n_inliers=inliers.sum().astype(jnp.int32),
+                         points3d=X)
+
+
+def normalize_with_intrinsics(pts: jnp.ndarray, fx, fy, cx, cy):
+    """Pixel -> normalized camera coordinates."""
+    return jnp.stack([(pts[..., 0] - cx) / fx, (pts[..., 1] - cy) / fy], -1)

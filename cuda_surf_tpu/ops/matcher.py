@@ -1,0 +1,44 @@
+"""Brute-force descriptor matching on the MXU.
+
+TPU-native re-derivation of findMaxCorr (surfd.cu:2535-2671).  The CUDA
+kernel hand-tiles a 64-wide dot-product cross-matrix through skewed
+shared memory with best/second-best tracking; on TPU that entire
+structure is one `D1 @ D2.T` matmul (the MXU's native shape) followed by
+`lax.top_k(2)`.  Semantics preserved: one-directional set1 -> set2
+nearest neighbour, scores are cosine similarities of L2-normalized
+descriptors, ambiguity = second_best / (best + 1e-6)
+(surfd.cu:2665-2669); no ratio-test rejection is applied.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import Keypoints, Matches
+
+
+def match(desc1: jnp.ndarray, valid1: jnp.ndarray,
+          desc2: jnp.ndarray, valid2: jnp.ndarray,
+          x2: jnp.ndarray, y2: jnp.ndarray) -> Matches:
+    neg = jnp.float32(-1e30)
+    scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
+                     precision="float32")
+    scores = jnp.where(valid2[None, :], scores, neg)
+    top2, idx2 = lax.top_k(scores, 2)
+    best, second = top2[:, 0], top2[:, 1]
+    index = idx2[:, 0]
+    return Matches(
+        score=best,
+        index=index,
+        match_x=x2[index],
+        match_y=y2[index],
+        ambiguity=jnp.where(second > neg,
+                            second / (best + jnp.float32(1e-6)), 0.0),
+        valid=valid1 & (best > neg),
+    )
+
+
+def match_keypoints(kp1: Keypoints, desc1: jnp.ndarray,
+                    kp2: Keypoints, desc2: jnp.ndarray) -> Matches:
+    return match(desc1, kp1.valid, desc2, kp2.valid, kp2.x, kp2.y)

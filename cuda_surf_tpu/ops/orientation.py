@@ -1,0 +1,129 @@
+"""Haar-wavelet orientation assignment.
+
+TPU-native re-derivation of assignOrientationApprox (surfd.cu:1711-1960).
+The reference builds four shared-memory histograms with atomicAdd scatter;
+here every histogram is a one-hot matmul (segment sum) batched over
+keypoints, the +/-2pi wrapped copies of the angle-mass histogram are
+derived algebraically instead of scattered, and the pi/3 sliding-window
+sums become a (72, 13) gather + weighted reduction.  The windowed argmax
+takes the first maximum, matching the reference's tie-keeps-lower-index
+tree reduction (surfd.cu:1920-1947).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NBIN, SEP_ANGLE, WINDOW, HWN, ORADIUS, ORADIUS_SQ, SurfConfig, lut1, bin_centers
+from .integral import wavelet_dx, wavelet_dy
+
+_PI = jnp.float32(math.pi)
+_2PI = jnp.float32(2 * math.pi)
+
+
+def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial atan2 approximation (dFastAtan2, surfd.cu:114-126)."""
+    absx, absy = jnp.abs(x), jnp.abs(y)
+    a = jnp.minimum(absx, absy) / jnp.maximum(absx, absy)
+    s = a * a
+    r = ((jnp.float32(-0.0464964749) * s + jnp.float32(0.15931422)) * s
+         - jnp.float32(0.327622764)) * s * a + a
+    r = jnp.where(absy > absx, jnp.float32(math.pi / 2) - r, r)
+    r = jnp.where(x < 0, _PI - r, r)
+    r = jnp.where(y < 0, -r, r)
+    return r
+
+
+def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
+                        x: jnp.ndarray, y: jnp.ndarray, scale: jnp.ndarray,
+                        valid: jnp.ndarray) -> jnp.ndarray:
+    """Batched orientation for (K,) keypoints -> (K,) angles."""
+    lut = jnp.asarray(lut1(), jnp.float32)
+    bins = jnp.asarray(bin_centers(), jnp.float32)
+    ih, iw = ii.shape
+
+    if cfg.doubled:
+        x, y, scale = 2 * x, 2 * y, 2 * scale
+    pixsi = jnp.trunc(2 * scale + jnp.float32(1.6)).astype(jnp.int32)
+    step = jnp.trunc(scale + jnp.float32(0.8)).astype(jnp.int32)
+    cx = jnp.round(x).astype(jnp.int32)
+    cy = jnp.round(y).astype(jnp.int32)
+
+    g = jnp.arange(-ORADIUS, ORADIUS + 1, dtype=jnp.int32)
+    y1 = jnp.repeat(g, 2 * ORADIUS + 1)      # (361,)
+    x1 = jnp.tile(g, 2 * ORADIUS + 1)
+    distsq = y1 * y1 + x1 * x1               # (361,)
+
+    def one(cx, cy, pixsi, step, valid):
+        xx = cx + x1 * step
+        yy = cy + y1 * step
+        ok = ((yy + pixsi + 2 < ih) & (yy - pixsi > -1)
+              & (xx + pixsi + 2 < iw) & (xx - pixsi > -1)
+              & (distsq < ORADIUS_SQ) & valid)
+        xxc = jnp.clip(xx, pixsi, iw - pixsi - 2)
+        yyc = jnp.clip(yy, pixsi, ih - pixsi - 2)
+        dx = wavelet_dx(ii, xxc, yyc, pixsi).astype(jnp.float32) \
+            * jnp.float32(0.003921568627)
+        dy = wavelet_dy(ii, xxc, yyc, pixsi).astype(jnp.float32) \
+            * jnp.float32(0.003921568627)
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ok &= mag > 0
+        angle = fast_atan2(dy, dx)
+        hid = (jnp.trunc((angle + _PI) / jnp.float32(SEP_ANGLE))
+               .astype(jnp.int32) % NBIN)
+        psum = lut[jnp.clip(distsq, 0, lut.shape[0] - 1)] * mag
+
+        onehot = jax.nn.one_hot(jnp.where(ok, hid, NBIN), NBIN,
+                                dtype=jnp.float32)  # invalid -> all-zero row
+        vals = jnp.stack([jnp.ones_like(psum), angle, psum, angle * psum], 1)
+        sums = jnp.einsum("sb,sv->bv", onehot,
+                  jnp.where(ok[:, None], vals, 0.0),
+                  precision="float32")  # (NBIN, 4)
+        hist, angsum, part_sums, angpsum = sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]
+
+        avg = jnp.where(hist > 0, angsum / jnp.maximum(hist, 1.0), bins)
+        # part_angle_sums with wrapped copies (surfd.cu:1798-1806):
+        # slot b+HWN holds bin b; low slots hold bins 66..71 shifted by -2pi,
+        # high slots hold bins 0..5 shifted by +2pi.
+        pas = jnp.concatenate([
+            angpsum[NBIN - HWN:] - _2PI * part_sums[NBIN - HWN:],
+            angpsum,
+            angpsum[:HWN] + _2PI * part_sums[:HWN],
+        ])  # (NBIN + 2*HWN,)
+
+        idx = jnp.arange(NBIN, dtype=jnp.int32)
+        # middle bins j in (-HWN, HWN)
+        js = jnp.arange(-HWN + 1, HWN, dtype=jnp.int32)      # (11,)
+        kmat = idx[:, None] + js[None, :]                    # (72, 11)
+        win_asums = pas[kmat + HWN].sum(1)
+        win_sums = part_sums[kmat % NBIN].sum(1)
+        # left edge j = -HWN
+        kl = idx - HWN
+        klw = jnp.where(kl < 0, kl + NBIN, kl)
+        k1 = (klw + 1) % NBIN
+        res_l = jnp.where(
+            kl < 0,
+            bins[k1] + jnp.float32(WINDOW / 2) - avg
+            - jnp.where(bins[k1] < 0, 0.0, float(2 * math.pi)),
+            bins[jnp.clip(kl + 1, 0, NBIN - 1)] + jnp.float32(WINDOW / 2) - avg)
+        ratio_l = res_l / jnp.float32(SEP_ANGLE)
+        win_sums = win_sums + ratio_l * part_sums[klw]
+        win_asums = win_asums + ratio_l * pas[idx]
+        # right edge j = +HWN
+        kr = idx + HWN
+        krw = jnp.where(kr >= NBIN, kr - NBIN, kr)
+        res_r = jnp.where(
+            kr >= NBIN,
+            avg + jnp.float32(WINDOW / 2) - _2PI - bins[krw],
+            avg + jnp.float32(WINDOW / 2) - bins[krw])
+        ratio_r = res_r / jnp.float32(SEP_ANGLE)
+        win_sums = win_sums + ratio_r * part_sums[krw]
+        win_asums = win_asums + ratio_r * pas[idx + 2 * HWN]
+
+        best = jnp.argmax(win_sums)
+        return win_asums[best] / win_sums[best]
+
+    return jax.vmap(one)(cx, cy, pixsi, step, valid)

@@ -1,0 +1,108 @@
+"""Monocular visual-odometry / SLAM pipeline.
+
+Orchestrates the jitted stages (frontend, tracking, BA) over an image
+sequence: per-frame SURF features, frame-to-frame RANSAC pose, median-
+depth-ratio scale propagation (monocular scale), keyframe selection and
+pose accumulation.  Host-side logic is orchestration only — all numerics
+run in jitted JAX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SurfConfig
+from ..frontend import Surf
+from .tracking import Intrinsics, default_intrinsics, track_pair
+from ..utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class FrameState:
+    index: int
+    R: np.ndarray          # world->cam
+    t: np.ndarray
+    n_inliers: int
+    is_keyframe: bool
+
+
+class SlamPipeline:
+    def __init__(self, cfg: SurfConfig | None = None,
+                 intrinsics: Intrinsics | None = None,
+                 ratio: float = 0.95, min_inliers: int = 30,
+                 keyframe_min_inlier_frac: float = 0.5,
+                 seed: int = 0, metrics: MetricsLogger | None = None):
+        self.cfg = cfg if cfg is not None else SurfConfig(
+            max_pts=2048, candidates_per_octave=2048)
+        self.surf = Surf(self.cfg)
+        self.intr = intrinsics
+        self.ratio = ratio
+        self.min_inliers = min_inliers
+        self.kf_frac = keyframe_min_inlier_frac
+        self.key = jax.random.PRNGKey(seed)
+        self.metrics = metrics or MetricsLogger()
+        self._track = jax.jit(
+            lambda kp1, d1, kp2, d2, intr, key: track_pair(
+                kp1, d1, kp2, d2, intr, key, ratio=self.ratio))
+        self.frames: List[FrameState] = []
+        self._prev = None          # (kps, desc)
+        self._prev_depth = None    # median depth of last pair's landmarks
+
+    def reset(self):
+        self.frames.clear()
+        self._prev = None
+        self._prev_depth = None
+
+    def process(self, image: np.ndarray) -> FrameState:
+        h, w = image.shape
+        if self.intr is None:
+            self.intr = default_intrinsics(h, w)
+        kps, desc = self.surf.detect_and_compute(image)
+        if self._prev is None:
+            st = FrameState(0, np.eye(3), np.zeros(3), 0, True)
+            self.frames.append(st)
+            self._prev = (kps, desc)
+            self.metrics.log(frame=0, keypoints=int(kps.count), inliers=0)
+            return st
+
+        kp1, d1 = self._prev
+        self.key, sub = jax.random.split(self.key)
+        res = self._track(kp1, d1, kps, desc, self.intr, sub)
+        n_inl = int(res.n_inliers)
+        R_rel = np.asarray(res.R, np.float64)
+        t_rel = np.asarray(res.t, np.float64)
+
+        # Monocular scale propagation: ratio of median triangulated depth
+        # between consecutive pairs (unit scale for the first pair).
+        inl = np.asarray(res.inliers)
+        depths = np.asarray(res.points3d)[:, 2]
+        med_depth = float(np.median(depths[inl])) if inl.any() else 1.0
+        if self._prev_depth is not None and med_depth > 1e-6:
+            scale = self._prev_depth / med_depth
+        else:
+            scale = 1.0
+        self._prev_depth = med_depth * scale
+
+        prev = self.frames[-1]
+        if n_inl < self.min_inliers:
+            # tracking failure: keep previous pose (constant model)
+            R_w, t_w = prev.R, prev.t
+        else:
+            R_w = R_rel @ prev.R
+            t_w = R_rel @ prev.t + scale * t_rel
+        is_kf = n_inl < self.kf_frac * max(int(kp1.count), 1)
+        st = FrameState(len(self.frames), R_w, t_w, n_inl, is_kf)
+        self.frames.append(st)
+        self._prev = (kps, desc)
+        self.metrics.log(frame=st.index, keypoints=int(kps.count),
+                         inliers=n_inl, keyframe=is_kf)
+        return st
+
+    def trajectory(self) -> np.ndarray:
+        """Camera centres (N, 3): c = -R^T t."""
+        return np.stack([-f.R.T @ f.t for f in self.frames])

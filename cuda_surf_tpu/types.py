@@ -1,0 +1,99 @@
+"""Core data model: fixed-capacity struct-of-arrays pytrees.
+
+TPU-native replacement of the reference's array-of-structs `SurfPoint` /
+`SurfData` (surf_structures.h:7-41).  XLA wants static shapes and SoA
+layout, so keypoint sets are padded to a static capacity with a validity
+mask and an explicit count instead of the reference's atomicInc-compacted
+dynamic arrays (surfd.cu:662-672).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class Keypoints:
+    """Fixed-capacity SURF keypoint set.
+
+    Fields mirror SurfPoint (surf_structures.h:7-31) minus the match slots,
+    which live in :class:`Matches`.
+    """
+
+    def __init__(self, x, y, scale, strength, laplace, ori, octave, valid, count):
+        self.x = x                  # (N,) f32, image-space x
+        self.y = y                  # (N,) f32
+        self.scale = scale          # (N,) f32 (already includes the 1.2 factor)
+        self.strength = strength    # (N,) f32 interpolated det-of-Hessian peak
+        self.laplace = laplace      # (N,) i32 sign of Laplacian (+1/-1)
+        self.ori = ori              # (N,) f32 orientation (0 when upright)
+        self.octave = octave        # (N,) i32
+        self.valid = valid          # (N,) bool
+        self.count = count          # () i32 number of valid points
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[-1]
+
+    @staticmethod
+    def empty(capacity: int) -> "Keypoints":
+        z = jnp.zeros((capacity,), jnp.float32)
+        return Keypoints(
+            x=z - 1.0, y=z - 1.0, scale=z + 1.0, strength=z,
+            laplace=jnp.ones((capacity,), jnp.int32), ori=z,
+            octave=jnp.zeros((capacity,), jnp.int32),
+            valid=jnp.zeros((capacity,), bool), count=jnp.int32(0),
+        )
+
+    def tree_flatten(self):
+        leaves = (self.x, self.y, self.scale, self.strength, self.laplace,
+                  self.ori, self.octave, self.valid, self.count)
+        return leaves, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    def __repr__(self):
+        return f"Keypoints(capacity={self.capacity})"
+
+
+class Matches(NamedTuple):
+    """One-directional nearest-neighbour assignment set1 -> set2.
+
+    Mirrors the match slots of SurfPoint written by findMaxCorr
+    (surfd.cu:2665-2669): cosine score, matched index, matched point
+    coordinates, and second-best/best ambiguity ratio.
+    """
+
+    score: jax.Array      # (N1,) f32 best cosine similarity
+    index: jax.Array      # (N1,) i32 index into set2
+    match_x: jax.Array    # (N1,) f32
+    match_y: jax.Array    # (N1,) f32
+    ambiguity: jax.Array  # (N1,) f32 second_best / (best + 1e-6)
+    valid: jax.Array      # (N1,) bool
+
+
+def compact(mask: jax.Array, capacity: int, *arrays):
+    """Stream-compact `arrays` rows where `mask` is set into fixed-size
+    buffers of length `capacity` (valid-first, stable order).
+
+    TPU replacement for atomic append: sort-free, uses a cumulative-sum
+    scatter.  Returns (count, valid, *compacted).
+    """
+    mask = mask.reshape(-1)
+    n = mask.shape[0]
+    positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.minimum(positions[-1] + 1, capacity) if n else jnp.int32(0)
+    dest = jnp.where(mask & (positions < capacity), positions, capacity)
+    out_valid = jnp.zeros((capacity,), bool).at[dest].set(
+        mask, mode="drop", unique_indices=False)
+    outs = []
+    for a in arrays:
+        a = a.reshape(n, *a.shape[mask.ndim:]) if a.ndim > 1 else a.reshape(-1)
+        pad = jnp.zeros((capacity,) + a.shape[1:], a.dtype)
+        outs.append(pad.at[dest].set(a, mode="drop"))
+    return count, out_valid, *outs

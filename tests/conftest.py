@@ -1,0 +1,54 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised in CI without TPU hardware (SURVEY.md section 4).  NOTE: in this
+# environment the JAX_PLATFORMS env var is ignored by the axon plugin; the
+# config API works, so force the platform through it before any device use.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def small_image(rng):
+    """Smooth synthetic test image with blob structure at several scales."""
+    h, w = 120, 160
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 96 + 40 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    for (cy, cx, s, a) in [(30, 40, 4, 90), (70, 110, 8, -70), (90, 30, 6, 80),
+                           (40, 130, 5, -60), (100, 90, 10, 70)]:
+        img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img += rng.normal(0, 2.0, (h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="session")
+def left_image():
+    from cuda_surf_tpu.io import read_pgm
+    return read_pgm(os.path.join(REFERENCE_DATA, "left.pgm"))
+
+
+@pytest.fixture(scope="session")
+def right_image():
+    from cuda_surf_tpu.io import read_pgm
+    return read_pgm(os.path.join(REFERENCE_DATA, "right.pgm"))
