@@ -50,6 +50,10 @@ class SurfConfig:
     # through fixed-size candidate buffers).
     candidates_per_octave: int = 4096
     interp_moves: int = 5
+    # Wavelet sampling backend: "auto" picks the Pallas patch kernel on TPU
+    # and the XLA gather path elsewhere; "pallas" / "gather" force one;
+    # "interpret" runs the Pallas kernel in interpreter mode (CPU testing).
+    wavelet_method: str = "auto"
 
     # ---- derived parameters (Surfor::init, surf.cpp:67-79) ----
 
@@ -83,30 +87,65 @@ class SurfConfig:
 
     # ---- descriptor geometry bounds (static shapes for XLA) ----
 
-    def _iradius(self, scale: float) -> int:
-        """iradius for a given working scale (describeUR*, surfd.cu:1381-1387;
-        rotated x1.4 at surfd.cu:2428)."""
+    def _desc_geometry(self, scale: float) -> tuple[int, int, int]:
+        """(step, iscale, iradius) for a given keypoint scale (describeUR*,
+        surfd.cu:1373-1387; rotated x1.4 at surfd.cu:2428)."""
         work = (3.3 if self.doubled else 1.65) * scale
         step = max(1, _round_half_even(work * 0.5))
+        iscale = int(work)
         spacing = work * self.mag_factor
         rad = (1.0 if self.upright else 1.4) * spacing * (self.desc_wsz + 1) * 0.5
-        return _round_half_even(rad / step)
+        return step, iscale, _round_half_even(rad / step)
 
     @functools.cached_property
-    def max_iradius(self) -> int:
-        """Static upper bound on the per-keypoint descriptor sampling radius.
+    def _max_scale_value(self) -> float:
+        """Upper bound on emitted keypoint scales: makePoint gives
+        1.2 * ns * divisor (surfd.cu:1004-1006) with ns bounded by the last
+        octave's top scale plus the +/-1.5 interpolation offset."""
+        octave = 1 << (self.noctaves - 1)
+        ns = (self.init_lobe + (octave - 1) * self.max_scale
+              + (self.max_scale + 0.5) * 2.0 * octave) / 3.0
+        return 1.2 * ns * self.divisor + 1.0
+
+    @functools.cached_property
+    def _desc_bounds(self) -> tuple[int, int]:
+        """(max_iradius, max_span) over the reachable scale range.
 
         The reference computes a global max via atomicMax (updateIradius,
         surfd.cu:991-998) then sizes the describe grid by device readback
         (surfd.cu:3267-3279).  On TPU shapes must be static, so we bound the
-        radius over the full reachable scale range instead.
+        radius over the full reachable scale range instead.  `max_span` =
+        iradius*step + iscale + 1 bounds the patch half-extent used by the
+        Pallas wavelet kernel.
         """
-        best = 0
-        # Scan keypoint scales on a fine grid covering everything detection
-        # can emit (ns up to ~(init_lobe + 7*max_scale + max_scale*16)/3).
+        best_rad, best_span = 0, 0
         s = 0.5
-        while s < 256.0:
-            best = max(best, self._iradius(s))
+        while s < self._max_scale_value:
+            step, iscale, rad = self._desc_geometry(s)
+            best_rad = max(best_rad, rad)
+            best_span = max(best_span, rad * step + iscale + 1)
+            s += 0.01
+        return best_rad, best_span
+
+    @property
+    def max_iradius(self) -> int:
+        return self._desc_bounds[0]
+
+    @property
+    def max_desc_span(self) -> int:
+        return self._desc_bounds[1]
+
+    @functools.cached_property
+    def max_ori_span(self) -> int:
+        """Patch half-extent bound for orientation sampling
+        (assignOrientationApprox geometry, surfd.cu:1746-1793)."""
+        best = 0
+        s = 0.5
+        bound = self._max_scale_value * (2.0 if self.doubled else 1.0)
+        while s < bound:
+            pixsi = int(2.0 * s + 1.6)
+            step = int(s + 0.8)
+            best = max(best, ORADIUS * step + pixsi + 1)
             s += 0.01
         return best
 

@@ -25,9 +25,14 @@ def match(desc1: jnp.ndarray, valid1: jnp.ndarray,
     scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
                      precision="float32")
     scores = jnp.where(valid2[None, :], scores, neg)
-    top2, idx2 = lax.top_k(scores, 2)
-    best, second = top2[:, 0], top2[:, 1]
-    index = idx2[:, 0]
+    # Best/second-best via two masked max passes: top_k sorts whole rows,
+    # which is orders of magnitude slower on TPU than these fused
+    # reductions over the matmul output (the reference tracks exactly
+    # max + second-max per point, surfd.cu:2610-2626).
+    best = jnp.max(scores, axis=1)
+    index = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    second = jnp.max(jnp.where(cols == index[:, None], neg, scores), axis=1)
     return Matches(
         score=best,
         index=index,

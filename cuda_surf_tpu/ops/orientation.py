@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..config import NBIN, SEP_ANGLE, WINDOW, HWN, ORADIUS, ORADIUS_SQ, SurfConfig, lut1, bin_centers
 from .integral import wavelet_dx, wavelet_dy
+from .patch_wavelets import wavelet_grids, use_pallas
 
 _PI = jnp.float32(math.pi)
 _2PI = jnp.float32(2 * math.pi)
@@ -44,6 +45,8 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
     lut = jnp.asarray(lut1(), jnp.float32)
     bins = jnp.asarray(bin_centers(), jnp.float32)
     ih, iw = ii.shape
+    k = x.shape[0]
+    n = 2 * ORADIUS + 1
 
     if cfg.doubled:
         x, y, scale = 2 * x, 2 * y, 2 * scale
@@ -52,23 +55,35 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
     cx = jnp.round(x).astype(jnp.int32)
     cy = jnp.round(y).astype(jnp.int32)
 
+    if use_pallas(cfg):
+        dyg, dxg = wavelet_grids(
+            ii, cx, cy, step, pixsi, jnp.full_like(step, ORADIUS), valid,
+            R=ORADIUS, max_span=cfg.max_ori_span,
+            interpret=cfg.wavelet_method == "interpret")
+        wl = (dyg.reshape(k, n * n), dxg.reshape(k, n * n))
+    else:
+        wl = (jnp.zeros((k, 1), jnp.float32),) * 2
+
     g = jnp.arange(-ORADIUS, ORADIUS + 1, dtype=jnp.int32)
     y1 = jnp.repeat(g, 2 * ORADIUS + 1)      # (361,)
     x1 = jnp.tile(g, 2 * ORADIUS + 1)
     distsq = y1 * y1 + x1 * x1               # (361,)
 
-    def one(cx, cy, pixsi, step, valid):
+    def one(cx, cy, pixsi, step, valid, dyv, dxv):
         xx = cx + x1 * step
         yy = cy + y1 * step
         ok = ((yy + pixsi + 2 < ih) & (yy - pixsi > -1)
               & (xx + pixsi + 2 < iw) & (xx - pixsi > -1)
               & (distsq < ORADIUS_SQ) & valid)
-        xxc = jnp.clip(xx, pixsi, iw - pixsi - 2)
-        yyc = jnp.clip(yy, pixsi, ih - pixsi - 2)
-        dx = wavelet_dx(ii, xxc, yyc, pixsi).astype(jnp.float32) \
-            * jnp.float32(0.003921568627)
-        dy = wavelet_dy(ii, xxc, yyc, pixsi).astype(jnp.float32) \
-            * jnp.float32(0.003921568627)
+        if use_pallas(cfg):
+            wdx, wdy = dxv, dyv
+        else:
+            xxc = jnp.clip(xx, pixsi, iw - pixsi - 2)
+            yyc = jnp.clip(yy, pixsi, ih - pixsi - 2)
+            wdx = wavelet_dx(ii, xxc, yyc, pixsi).astype(jnp.float32)
+            wdy = wavelet_dy(ii, xxc, yyc, pixsi).astype(jnp.float32)
+        dx = wdx * jnp.float32(0.003921568627)
+        dy = wdy * jnp.float32(0.003921568627)
         mag = jnp.sqrt(dx * dx + dy * dy)
         ok &= mag > 0
         angle = fast_atan2(dy, dx)
@@ -126,4 +141,4 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
         best = jnp.argmax(win_sums)
         return win_asums[best] / win_sums[best]
 
-    return jax.vmap(one)(cx, cy, pixsi, step, valid)
+    return jax.vmap(one)(cx, cy, pixsi, step, valid, *wl)

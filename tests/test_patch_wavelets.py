@@ -1,0 +1,115 @@
+"""Pallas patch-wavelet kernel vs the direct box-sum formulas.
+
+Runs the TPU kernel in interpreter mode on CPU so the exact-selection
+matmul machinery (bucketing, patch DMA, limb decomposition) is covered
+in CI without hardware (SURVEY.md section 4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cuda_surf_tpu.ops.patch_wavelets import wavelet_grids, bucket_specs
+
+
+def _integral(img):
+    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), np.int64)
+    ii[1:, 1:] = img.astype(np.int64).cumsum(0).cumsum(1)
+    return ii
+
+
+def _boxsum(ii, x1, y1, x2, y2):
+    return ii[y1 + 1, x1 + 1] + ii[y2, x2] - ii[y2, x1 + 1] - ii[y1 + 1, x2]
+
+
+def _wdy(ii, x, y, s):
+    return (_boxsum(ii, x + s, y, x - s, y - s)
+            - _boxsum(ii, x + s, y + s, x - s, y))
+
+
+def _wdx(ii, x, y, s):
+    return (_boxsum(ii, x + s, y + s, x, y - s)
+            - _boxsum(ii, x, y + s, x - s, y - s))
+
+
+def test_wavelet_grids_match_box_sums(rng):
+    img = rng.integers(0, 256, (96, 160), np.uint8)
+    ii = _integral(img)
+    H, W = ii.shape
+    iij = jnp.asarray(ii.astype(np.int32))
+
+    K, R = 12, 8
+    ix = rng.integers(8, W - 8, K).astype(np.int32)
+    iy = rng.integers(8, H - 8, K).astype(np.int32)
+    step = rng.integers(1, 5, K).astype(np.int32)
+    iscale = (2 * step + rng.integers(0, 3, K)).astype(np.int32)
+    irad = rng.integers(4, R + 1, K).astype(np.int32)
+    valid = np.ones(K, bool)
+    valid[-1] = False
+    max_span = int((irad * step + iscale + 1).max())
+
+    dyg, dxg = jax.jit(lambda *a: wavelet_grids(
+        *a, R=R, max_span=max_span, interpret=True))(
+        iij, jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(step),
+        jnp.asarray(iscale), jnp.asarray(irad), jnp.asarray(valid))
+    dyg, dxg = np.asarray(dyg), np.asarray(dxg)
+    assert dyg.shape == (K, 2 * R + 1, 2 * R + 1)
+
+    for k in range(K - 1):
+        s, st, rad = int(iscale[k]), int(step[k]), int(irad[k])
+        for i in range(-R, R + 1):
+            for j in range(-R, R + 1):
+                r = int(iy[k]) + i * st
+                c = int(ix[k]) + j * st
+                if (abs(i) <= rad and abs(j) <= rad and r - s >= 0
+                        and r + s + 1 <= H - 1 and c - s >= 0
+                        and c + s + 1 <= W - 1):
+                    assert dyg[k, i + R, j + R] == _wdy(ii, c, r, s), (k, i, j)
+                    assert dxg[k, i + R, j + R] == _wdx(ii, c, r, s), (k, i, j)
+    # invalid keypoint comes back all-zero
+    assert np.all(dyg[-1] == 0) and np.all(dxg[-1] == 0)
+
+
+def test_bucket_specs_cover_span():
+    specs = bucket_specs(968, 1408, 511)
+    assert specs[-1][0] >= 511
+    # extents are tile-aligned and within the padded image
+    for lim, er, ec in specs:
+        assert er % 8 == 0 and ec % 128 == 0
+        assert er <= 968 and ec <= 1408
+
+
+def test_describe_pallas_interpret_matches_gather(small_image):
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.frontend import detect_and_compute
+
+    cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
+                      wavelet_method="gather")
+    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    img = jnp.asarray(small_image)
+    kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
+    kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
+    v = np.asarray(kpA.valid)
+    assert int(kpA.count) == int(kpB.count)
+    np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
+                               atol=1e-6)
+
+
+def test_orientation_pallas_interpret_matches_gather(small_image):
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.frontend import detect_and_compute
+
+    cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
+                      upright=False, wavelet_method="gather")
+    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    img = jnp.asarray(small_image)
+    kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
+    kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
+    v = np.asarray(kpA.valid)
+    np.testing.assert_allclose(np.asarray(kpA.ori)[v],
+                               np.asarray(kpB.ori)[v], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
+                               atol=1e-5)
