@@ -55,6 +55,13 @@ class SurfConfig:
     # "interpret" runs the Pallas kernel in interpreter mode (CPU testing).
     wavelet_method: str = "auto"
 
+    @property
+    def max_candidates(self) -> int:
+        """Global pre-interpolation candidate capacity (the analogue of
+        the reference's unbounded in-kernel cell pass; interpolated
+        survivors are then compacted to max_pts)."""
+        return 2 * self.max_pts
+
     # ---- derived parameters (Surfor::init, surf.cpp:67-79) ----
 
     @property

@@ -18,7 +18,7 @@ from .config import SurfConfig
 from .types import Keypoints, Matches, compact
 from .ops.integral import integral_image, box_sum
 from .ops.hessian import response_pyramid
-from .ops.extrema import detect_octave
+from .ops.extrema import detect
 from .ops.orientation import assign_orientations
 from .ops.descriptor import describe
 from .ops.matcher import match_keypoints
@@ -38,18 +38,10 @@ def detect_and_compute(image: jnp.ndarray, cfg: SurfConfig,
     pyr = response_pyramid(ii, cfg, h, w)
     sched = cfg.hessian_schedule(h, w)
 
-    fields = {k: [] for k in ("valid", "nx", "ny", "ns", "strength", "octave")}
-    for o in range(cfg.noctaves):
-        cand = detect_octave(pyr[o], sched[o], cfg)
-        for k in ("valid", "nx", "ny", "ns", "strength"):
-            fields[k].append(cand[k])
-        fields["octave"].append(
-            jnp.full_like(cand["nx"], o).astype(jnp.int32))
-    cat = {k: jnp.concatenate(v) for k, v in fields.items()}
-
+    cand = detect(pyr, sched, cfg)
     count, valid, nx, ny, ns, strength, octave = compact(
-        cat["valid"], cfg.max_pts, cat["nx"], cat["ny"], cat["ns"],
-        cat["strength"], cat["octave"])
+        cand["valid"], cfg.max_pts, cand["nx"], cand["ny"], cand["ns"],
+        cand["strength"], cand["octave"])
 
     # makePoint (surfd.cu:1001-1022): scale octave-space coords to image
     # space and compute the Laplacian sign on the integral image.

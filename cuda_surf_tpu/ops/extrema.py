@@ -6,16 +6,26 @@ fitQuadrat (surfd.cu:942-988) and solveLinearSystem (surfd.cu:835-887).
 The reference appends keypoints with atomicInc into a global array; TPU
 has no global atomics, so detection is reformulated as:
 
-  1. a dense vectorized pass that evaluates every 2x2x2 extrema cell
-     (cell argmax in the reference's `cas` comparison order, then a
-     27-neighbourhood max test — mathematically identical to the 26
-     explicit rejection checks in surfd.cu:757-792),
-  2. stream compaction of accepted cells into a fixed-size candidate
-     buffer (types.compact), and
-  3. a batched fixed-iteration interpolation walk (vmap over candidates,
-     unrolled `moves_remain` rounds with convergence masking), with the
-     3x3 system solved by the same partial-pivot Gaussian elimination in
-     float32 so walk decisions track the reference's numerics.
+  1. a dense vectorized NMS pass: a position is a candidate iff its
+     response beats the 0.8*thresh pre-filter and is >= the max of its
+     full 3x3x3 neighbourhood, within the reference's per-scale-pair
+     cell windows.  This is mathematically the reference's
+     cell-argmax-then-26-neighbour test (surfd.cu:757-792) except that
+     exact response ties inside a cell admit both points instead of the
+     first in `cas` order — ties essentially never survive the
+     threshold on real images.  All dense vector ops: no gathers, no
+     strided slices.
+
+  2. one global stream compaction of candidate *linear indices* across
+     all octaves into a fixed-size buffer (types.compact).
+
+  3. a batched fixed-iteration interpolation walk.  The quadratic-fit
+     gradient/Hessian entries are precomputed as ten dense shifted-
+     difference maps over the whole pyramid (bandwidth-bound), so each
+     walk step is a flat 10-value gather per candidate plus a
+     branch-free 3x3 partial-pivot solve — the same float32 Gaussian
+     elimination as the reference, with the pivot swaps expressed as
+     selects so the whole walk vmaps without scatter/gather.
 """
 
 from __future__ import annotations
@@ -30,140 +40,206 @@ from ..types import compact
 
 def solve3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """3x3 float32 Gaussian elimination with partial pivoting
-    (solveLinearSystem, surfd.cu:835-887).  Singular systems produce
-    inf/nan which downstream rejection filters, as in the reference."""
+    (solveLinearSystem, surfd.cu:835-887), branch- and gather-free.
+    Singular systems produce inf/nan which downstream rejection
+    filters, as in the reference."""
     M = jnp.concatenate([A, b[:, None]], axis=1).astype(jnp.float32)
 
-    def swap(M, i, p):
-        rows = jnp.arange(3)
-        perm = jnp.where(rows == i, p, jnp.where(rows == p, i, rows))
-        return M[perm]
+    def pick(p, r0, r1, r2):
+        return jnp.where(p == 0, r0, jnp.where(p == 1, r1, r2))
 
-    p0 = jnp.argmax(jnp.abs(M[:, 0]))
-    M = swap(M, 0, p0)
-    M = M.at[1].add(-(M[1, 0] / M[0, 0]) * M[0])
-    M = M.at[2].add(-(M[2, 0] / M[0, 0]) * M[0])
-    p1 = 1 + jnp.argmax(jnp.abs(M[1:, 1]))
-    M = swap(M, 1, p1)
-    M = M.at[2].add(-(M[2, 1] / M[1, 1]) * M[1])
-    x2 = M[2, 3] / M[2, 2]
-    x1 = (M[1, 3] - M[1, 2] * x2) / M[1, 1]
-    x0 = (M[0, 3] - M[0, 1] * x1 - M[0, 2] * x2) / M[0, 0]
+    # pivot for column 0 over rows 0..2
+    a = jnp.abs(M[:, 0])
+    p0 = jnp.where(a[1] > a[0], 1, 0)
+    p0 = jnp.where(a[2] > jnp.maximum(a[0], a[1]), 2, p0)
+    r0 = pick(p0, M[0], M[1], M[2])
+    r1 = jnp.where(p0 == 1, M[0], M[1])
+    r2 = jnp.where(p0 == 2, M[0], M[2])
+    r1 = r1 - (r1[0] / r0[0]) * r0
+    r2 = r2 - (r2[0] / r0[0]) * r0
+    # pivot for column 1 over rows 1..2
+    swap = jnp.abs(r2[1]) > jnp.abs(r1[1])
+    r1, r2 = (jnp.where(swap, r2, r1), jnp.where(swap, r1, r2))
+    r2 = r2 - (r2[1] / r1[1]) * r1
+    x2 = r2[3] / r2[2]
+    x1 = (r1[3] - r1[2] * x2) / r1[1]
+    x0 = (r0[3] - r0[1] * x1 - r0[2] * x2) / r0[0]
     return jnp.stack([x0, x1, x2])
 
 
-def _fit_quadrat(block: jnp.ndarray):
-    """Gradient/Hessian from a (3,3,3) (scale, row, col) neighbourhood and
-    the quadratic-fit offsets + peak strength (fitQuadrat)."""
-    prv, cur, nxt = block[0], block[1], block[2]
-    g = jnp.stack([
-        (nxt[1, 1] - prv[1, 1]) * 0.5,
-        (cur[2, 1] - cur[0, 1]) * 0.5,
-        (cur[1, 2] - cur[1, 0]) * 0.5,
-    ])
-    t = cur[1, 1] + cur[1, 1]
-    h01 = ((nxt[2, 1] - nxt[0, 1]) - (prv[2, 1] - prv[0, 1])) * 0.25
-    h02 = ((nxt[1, 2] - nxt[1, 0]) - (prv[1, 2] - prv[1, 0])) * 0.25
-    h12 = ((cur[2, 2] - cur[2, 0]) - (cur[0, 2] - cur[0, 0])) * 0.25
-    H = jnp.array([
-        [prv[1, 1] + nxt[1, 1] - t, h01, h02],
-        [h01, cur[2, 1] + cur[0, 1] - t, h12],
-        [h02, h12, cur[1, 2] + cur[1, 0] - t],
-    ])
-    off = solve3(H, -g)
-    strength = cur[1, 1] + 0.5 * jnp.dot(off, g)
-    return off, strength
+def fit_stencils(resp: jnp.ndarray) -> jnp.ndarray:
+    """Dense quadratic-fit inputs for every pyramid position.
 
-
-def detect_octave(resp: jnp.ndarray, osched: OctaveSchedule, cfg: SurfConfig):
-    """One octave: dense NMS + compaction + interpolation walk.
-
-    resp: (max_scale, oh, ow) float32.  Returns dict of (cap,) arrays:
-    valid, nx, ny, ns, strength (octave-local interpolated coords, ready
-    for makePoint scaling).
+    resp: (ms, oh, ow) -> (ms, oh, ow, 10) float32 holding
+    [g_s, g_r, g_c, H_ss, H_rr, H_cc, H_sr, H_sc, H_rc, center]
+    (central differences of fitQuadrat, surfd.cu:942-988).  Values in
+    the one-cell border / end scales are garbage (wrapped) but the walk
+    never samples there.
     """
-    _, oh, ow = resp.shape
-    borders = jnp.asarray(osched.borders, jnp.int32)
-    mborders = osched.maximum_borders()
+    def sh(a, ds, dr, dc):
+        for ax, d in ((0, ds), (1, dr), (2, dc)):
+            if d:
+                a = jnp.roll(a, -d, axis=ax)
+        return a
 
-    # --- dense cell pass -------------------------------------------------
+    c = resp
+    half = jnp.float32(0.5)
+    quarter = jnp.float32(0.25)
+    two = jnp.float32(2.0)
+    g_s = (sh(c, 1, 0, 0) - sh(c, -1, 0, 0)) * half
+    g_r = (sh(c, 0, 1, 0) - sh(c, 0, -1, 0)) * half
+    g_c = (sh(c, 0, 0, 1) - sh(c, 0, 0, -1)) * half
+    h_ss = sh(c, 1, 0, 0) + sh(c, -1, 0, 0) - two * c
+    h_rr = sh(c, 0, 1, 0) + sh(c, 0, -1, 0) - two * c
+    h_cc = sh(c, 0, 0, 1) + sh(c, 0, 0, -1) - two * c
+    h_sr = ((sh(c, 1, 1, 0) - sh(c, 1, -1, 0))
+            - (sh(c, -1, 1, 0) - sh(c, -1, -1, 0))) * quarter
+    h_sc = ((sh(c, 1, 0, 1) - sh(c, 1, 0, -1))
+            - (sh(c, -1, 0, 1) - sh(c, -1, 0, -1))) * quarter
+    h_rc = ((sh(c, 0, 1, 1) - sh(c, 0, 1, -1))
+            - (sh(c, 0, -1, 1) - sh(c, 0, -1, -1))) * quarter
+    return jnp.stack(
+        [g_s, g_r, g_c, h_ss, h_rr, h_cc, h_sr, h_sc, h_rc, c], axis=-1)
+
+
+def _candidate_mask(resp: jnp.ndarray, osched: OctaveSchedule,
+                    cfg: SurfConfig) -> jnp.ndarray:
+    """Dense NMS candidate mask, (ms, oh, ow) bool."""
+    ms, oh, ow = resp.shape
     nbhd_max = lax.reduce_window(
         resp, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    pre = resp >= jnp.float32(0.8) * jnp.float32(cfg.thresh)
+    is_max = resp >= nbhd_max
 
-    cand_s, cand_r, cand_c, cand_ok = [], [], [], []
-    for z, mb in enumerate(mborders):
-        k = 2 * z + 1
-        hc = max(0, (oh - 2 * mb - 1) // 2 + 1)
-        wc = max(0, (ow - 2 * mb - 1) // 2 + 1)
-        if hc == 0 or wc == 0:
-            continue
-        cells = jnp.stack([
-            resp[k + ds, mb + di: mb + di + 2 * hc: 2,
-                 mb + dj: mb + dj + 2 * wc: 2]
-            for ds in (0, 1) for di in (0, 1) for dj in (0, 1)
-        ])  # (8, hc, wc) in the reference's `cas` comparison order
-        best = cells.max(0)
-        cas = jnp.argmax(cells, axis=0).astype(jnp.int32)
-        i_grid = mb + 2 * jnp.arange(hc, dtype=jnp.int32)[:, None]
-        j_grid = mb + 2 * jnp.arange(wc, dtype=jnp.int32)[None, :]
-        bs = k + cas // 4
-        br = i_grid + (cas // 2) % 2
-        bc = j_grid + cas % 2
-        ok = best >= jnp.float32(0.8) * jnp.float32(cfg.thresh)
-        if k + 1 == cfg.max_scale - 1:
-            ok &= cas <= 3  # top scale layer has no s+1 plane (surfd.cu:737)
-        ok &= best >= nbhd_max[bs, br, bc]
-        cand_s.append(bs.ravel())
-        cand_r.append(br.ravel())
-        cand_c.append(bc.ravel())
-        cand_ok.append(ok.ravel())
+    rows = lax.broadcasted_iota(jnp.int32, (oh, ow), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (oh, ow), 1)
+    mborders = osched.maximum_borders()
+    smask = []
+    window = []
+    for s in range(ms):
+        z = (s - 1) // 2
+        # scales covered by the reference's 2x2x2 cells at layers
+        # k = 2z+1: s in {2z+1, 2z+2}, except the very last scale plane
+        # (the cas <= 3 restriction at surfd.cu:737).
+        ok = 1 <= s < ms - 1 and z < len(mborders)
+        if ok:
+            mb = mborders[z]
+            hc = max(0, (oh - 2 * mb - 1) // 2 + 1)
+            wc = max(0, (ow - 2 * mb - 1) // 2 + 1)
+            win = ((rows >= mb) & (rows < mb + 2 * hc)
+                   & (cols >= mb) & (cols < mb + 2 * wc))
+        else:
+            win = jnp.zeros((oh, ow), bool)
+        smask.append(ok)
+        window.append(win)
+    window = jnp.stack(window)
+    return pre & is_max & window
 
-    cap = cfg.candidates_per_octave
-    if not cand_s:
-        z32 = jnp.zeros((cap,), jnp.int32)
-        zf = jnp.zeros((cap,), jnp.float32)
-        return dict(valid=jnp.zeros((cap,), bool), nx=zf, ny=zf, ns=zf,
-                    strength=zf)
-    mask = jnp.concatenate(cand_ok)
-    _, valid, s0, r0, c0 = compact(
-        mask, cap, jnp.concatenate(cand_s), jnp.concatenate(cand_r),
-        jnp.concatenate(cand_c))
 
-    # --- interpolation walk (vmapped, fixed iterations) ------------------
-    def interp_one(s, r, c):
-        def fit(r, c):
-            block = lax.dynamic_slice(resp, (s - 1, r - 1, c - 1), (3, 3, 3))
-            return _fit_quadrat(block)
+def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
+    """All-octave detection: dense NMS -> global compaction -> batched
+    interpolation walk.  Returns dict of (cap,) arrays:
+    valid, nx, ny, ns, strength, octave (octave-local interpolated
+    coords, ready for makePoint scaling)."""
+    noct = len(pyr)
+    if cap is None:
+        cap = cfg.max_candidates
 
-        off = jnp.zeros(3, jnp.float32)
-        strength = jnp.float32(0.0)
-        active = jnp.bool_(True)
-        r_fit, c_fit = r, c  # position of the last performed fit
-        for _ in range(cfg.interp_moves):
-            off_new, strength_new = fit(r, c)
-            off = jnp.where(active, off_new, off)
-            strength = jnp.where(active, strength_new, strength)
-            r_fit = jnp.where(active, r, r_fit)
-            c_fit = jnp.where(active, c, c_fit)
-            b = borders[s]
-            nr = r + jnp.where(active & (off_new[1] > 0.6) & (r < oh - b), 1, 0) \
-                   - jnp.where(active & (off_new[1] < -0.6) & (r > b), 1, 0)
-            nc = c + jnp.where(active & (off_new[2] > 0.6) & (c < ow - b), 1, 0) \
-                   - jnp.where(active & (off_new[2] < -0.6) & (c > b), 1, 0)
-            active = active & ((nr != r) | (nc != c))
-            r, c = nr, nc
-        return off, strength, r_fit, c_fit
+    masks, stens, offs, shapes = [], [], [0], []
+    for o in range(noct):
+        resp = pyr[o]
+        masks.append(_candidate_mask(resp, scheds[o], cfg).reshape(-1))
+        stens.append(fit_stencils(resp).reshape(-1, 10))
+        offs.append(offs[-1] + resp.size)
+        shapes.append(resp.shape)
+    mask = jnp.concatenate(masks)
+    # ten flat (T,) maps: the walk gathers each with a flat 1D take,
+    # which TPU executes far faster than row-gathers of (T, 10)
+    sten = [jnp.concatenate([s[:, k] for s in stens]) for k in range(10)]
+    total = offs[-1]
 
-    off, strength, r_fin, c_fin = jax.vmap(interp_one)(s0, r0, c0)
+    lin0 = lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
+    count, valid, lin = compact(mask, cap, lin0)
+
+    # --- static per-candidate geometry decoded from the linear index ---
+    octv = jnp.zeros((cap,), jnp.int32)
+    for o in range(1, noct):
+        octv += (lin >= offs[o]).astype(jnp.int32)
+
+    def sel(table):
+        v = jnp.full((cap,), table[0], jnp.int32)
+        for o in range(1, noct):
+            v = jnp.where(octv == o, table[o], v)
+        return v
+
+    oh_t = sel([sh[1] for sh in shapes])
+    ow_t = sel([sh[2] for sh in shapes])
+    off_t = sel(offs[:-1])
+    rel = lin - off_t
+    s_idx = rel // (oh_t * ow_t)
+    rem = rel - s_idx * oh_t * ow_t
+    r = rem // ow_t
+    c = rem - r * ow_t
+
+    # per-(octave, scale) walk border table (surf.cpp:261-269)
+    ms_p = max(len(s.borders) for s in scheds)
+    btab = []
+    for o in range(noct):
+        bs = list(scheds[o].borders)
+        btab += bs + [0] * (ms_p - len(bs))
+    btab = jnp.asarray(btab, jnp.int32)
+    border = btab[octv * ms_p + s_idx]
+
+    # --- interpolation walk (fixed iterations, flat gathers) -----------
+    def fit(lin_idx):
+        v = [jnp.take(m, lin_idx) for m in sten]   # 10 x (cap,)
+        g = jnp.stack(v[0:3], -1)
+        H = jnp.stack([
+            jnp.stack([v[3], v[6], v[7]], -1),
+            jnp.stack([v[6], v[4], v[8]], -1),
+            jnp.stack([v[7], v[8], v[5]], -1),
+        ], -2)                                      # (cap, 3, 3)
+        off = jax.vmap(solve3)(H, -g)
+        strength = v[9] + jnp.float32(0.5) * jnp.sum(off * g, axis=-1)
+        return off, strength
+
+    off = jnp.zeros((cap, 3), jnp.float32)
+    strength = jnp.zeros((cap,), jnp.float32)
+    active = valid
+    r_fit, c_fit = r, c
+    for _ in range(cfg.interp_moves):
+        off_new, strength_new = fit(lin)
+        off = jnp.where(active[:, None], off_new, off)
+        strength = jnp.where(active, strength_new, strength)
+        r_fit = jnp.where(active, r, r_fit)
+        c_fit = jnp.where(active, c, c_fit)
+        dr = (jnp.where(active & (off_new[:, 1] > 0.6) & (r < oh_t - border), 1, 0)
+              - jnp.where(active & (off_new[:, 1] < -0.6) & (r > border), 1, 0))
+        dc = (jnp.where(active & (off_new[:, 2] > 0.6) & (c < ow_t - border), 1, 0)
+              - jnp.where(active & (off_new[:, 2] < -0.6) & (c > border), 1, 0))
+        active = active & ((dr != 0) | (dc != 0))
+        r = r + dr
+        c = c + dc
+        lin = lin + dr * ow_t + dc
+
     good = valid
     good &= ~jnp.any(jnp.isnan(off), axis=1)
     good &= ~jnp.any(jnp.abs(off) > 1.5, axis=1)
     good &= strength >= jnp.float32(cfg.thresh)
 
-    octave = jnp.float32(osched.octave)
+    octave = sel([sch.octave for sch in scheds]).astype(jnp.float32)
     ns = (jnp.float32(cfg.init_lobe)
-          + jnp.float32((osched.octave - 1) * cfg.max_scale)
-          + (s0.astype(jnp.float32) + off[:, 0]) * 2.0 * octave) / jnp.float32(3.0)
-    ny = octave * (r_fin.astype(jnp.float32) + off[:, 1])
-    nx = octave * (c_fin.astype(jnp.float32) + off[:, 2])
-    return dict(valid=good, nx=nx, ny=ny, ns=ns, strength=strength)
+          + (octave - 1.0) * jnp.float32(cfg.max_scale)
+          + (s_idx.astype(jnp.float32) + off[:, 0]) * 2.0 * octave
+          ) / jnp.float32(3.0)
+    ny = octave * (r_fit.astype(jnp.float32) + off[:, 1])
+    nx = octave * (c_fit.astype(jnp.float32) + off[:, 2])
+    return dict(valid=good, nx=nx, ny=ny, ns=ns, strength=strength,
+                octave=octv, count=count)
+
+
+def detect_octave(resp: jnp.ndarray, osched: OctaveSchedule,
+                  cfg: SurfConfig):
+    """Single-octave convenience wrapper (used by unit tests)."""
+    out = detect([resp], [osched], cfg, cap=cfg.candidates_per_octave)
+    return out

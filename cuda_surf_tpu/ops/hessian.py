@@ -35,25 +35,39 @@ def response_pyramid(ii: jnp.ndarray, cfg: SurfConfig, h: int, w: int):
         if o > 0:
             layers.append(pyr[o - 1][cfg.max_scale - 3, : 2 * oh : 2, : 2 * ow : 2])
             layers.append(pyr[o - 1][cfg.max_scale - 1, : 2 * oh : 2, : 2 * ow : 2])
+        phases: dict = {}
         for sp in sched[o].scales:
-            layers.append(_response_layer(ii, sp, oh, ow))
+            layers.append(_response_layer(ii, sp, oh, ow, phases))
         pyr.append(jnp.stack(layers))
     return pyr
 
 
-def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int):
-    """One scale's response map via strided-slice box sums."""
+def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int,
+                    phases: dict):
+    """One scale's response map via phase-decimated box sums.
+
+    Strided reads are hostile to the TPU's lane layout, so instead of 32
+    stride-`delta` slices per scale, the integral image is decimated once
+    per needed (row, col) phase mod delta — `phases` caches these across
+    the octave's scales — and every box-sum corner becomes a unit-stride
+    slice of a phase plane, which XLA fuses into the elementwise
+    determinant computation with no extra materialization.
+    """
     b1, d = sp.border1, sp.delta
     ny, nx = oh - 2 * b1, ow - 2 * b1
     if ny <= 0 or nx <= 0:
         return jnp.zeros((oh, ow), jnp.float32)
+    ih, iw = ii.shape
 
     def corner(dy: int, dx: int):
         # ii[d*(b1+y) + dy, d*(b1+x) + dx] for the full (ny, nx) grid.
-        y0, x0 = d * b1 + dy, d * b1 + dx
-        return lax.slice(ii, (y0, x0),
-                         (y0 + d * (ny - 1) + 1, x0 + d * (nx - 1) + 1),
-                         (d, d))
+        p, q = dy % d, dx % d
+        if (p, q) not in phases:
+            phases[(p, q)] = lax.slice(
+                ii, (p, q), (ih, iw), (d, d))
+        ph = phases[(p, q)]
+        y0, x0 = b1 + dy // d, b1 + dx // d
+        return lax.slice(ph, (y0, x0), (y0 + ny, x0 + nx))
 
     def sbox(x1: int, y1: int, x2: int, y2: int):
         # getSum with static offsets relative to the grid centre.

@@ -79,21 +79,28 @@ class Matches(NamedTuple):
 
 def compact(mask: jax.Array, capacity: int, *arrays):
     """Stream-compact `arrays` rows where `mask` is set into fixed-size
-    buffers of length `capacity` (valid-first, stable order).
+    buffers of length `capacity` (valid-first, stable order; invalid
+    slots are zero).
 
-    TPU replacement for atomic append: sort-free, uses a cumulative-sum
-    scatter.  Returns (count, valid, *compacted).
+    TPU replacement for atomic append: gather-based — the i-th output is
+    located with a vectorized binary search over the mask's prefix sum
+    (scatter-based compaction costs ~10x more on TPU: a scatter over the
+    full input, here millions of pyramid cells, vs `capacity` binary
+    searches).  Returns (count, valid, *compacted).
     """
     mask = mask.reshape(-1)
     n = mask.shape[0]
-    positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    count = jnp.minimum(positions[-1] + 1, capacity) if n else jnp.int32(0)
-    dest = jnp.where(mask & (positions < capacity), positions, capacity)
-    out_valid = jnp.zeros((capacity,), bool).at[dest].set(
-        mask, mode="drop", unique_indices=False)
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    count = jnp.minimum(cs[-1], capacity) if n else jnp.int32(0)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    idx = jnp.searchsorted(cs, slots + 1).astype(jnp.int32)
+    out_valid = slots < count
+    idx = jnp.where(out_valid, idx, 0)
     outs = []
     for a in arrays:
-        a = a.reshape(n, *a.shape[mask.ndim:]) if a.ndim > 1 else a.reshape(-1)
-        pad = jnp.zeros((capacity,) + a.shape[1:], a.dtype)
-        outs.append(pad.at[dest].set(a, mode="drop"))
+        a = a.reshape(n, *a.shape[1:]) if a.ndim > 1 else a.reshape(-1)
+        v = jnp.take(a, idx, axis=0)
+        zero = jnp.zeros((), a.dtype)
+        mask_nd = out_valid.reshape((capacity,) + (1,) * (a.ndim - 1))
+        outs.append(jnp.where(mask_nd, v, zero))
     return count, out_valid, *outs
