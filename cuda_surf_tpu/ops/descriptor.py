@@ -36,7 +36,7 @@ from jax import lax
 
 from ..config import SurfConfig, lut2
 from .integral import wavelet_dx, wavelet_dy
-from .patch_wavelets import wavelet_grids, use_pallas
+from .patch_wavelets import descriptor_rows, use_pallas
 
 
 def describe(ii: jnp.ndarray, cfg: SurfConfig,
@@ -72,32 +72,38 @@ def describe(ii: jnp.ndarray, cfg: SurfConfig,
         fracc = -sine * fracy + cose * fracx
 
     if use_pallas(cfg):
-        dyg, dxg = wavelet_grids(
-            ii, ix, iy, step, iscale, iradius, valid,
+        # full in-kernel path: wavelet sampling AND bilinear binning run
+        # inside the Pallas patch kernel, emitting one descriptor row per
+        # keypoint (384x less HBM traffic than shipping sample grids).
+        ih, iw = ii.shape
+        fparams = jnp.stack([
+            fracr, fracc, spacing, sine, cose,
+            jnp.zeros_like(fracr), jnp.zeros_like(fracr),
+            jnp.zeros_like(fracr)], axis=0)
+        rows = descriptor_rows(
+            ii, ix, iy, step, iscale, iradius, valid, fparams,
             R=cfg.max_iradius, max_span=cfg.max_desc_span,
+            cfg_s=(cfg.desc_wsz, cfg.orient_size, cfg.upright,
+                   cfg.extended, ih, iw),
             interpret=cfg.wavelet_method == "interpret")
-        wl = (dyg.reshape(k, n * n), dxg.reshape(k, n * n))
-    else:
-        wl = (jnp.zeros((k, 1), jnp.float32),) * 2  # placeholder, unused
+        return l2_normalize(rows[:, :cfg.nfeatures])
 
     pad = (-k) % chunk
     args = [jnp.pad(a, (0, pad)) for a in
             (ix, iy, step, iradius, iscale, spacing, fracr, fracc,
              sine, cose)]
     args.append(jnp.pad(valid, (0, pad)))
-    args += [jnp.pad(a, ((0, pad), (0, 0))) for a in wl]
     stacked = [a.reshape(-1, chunk, *a.shape[1:]) for a in args]
     out = lax.map(lambda t: _describe_chunk(ii, cfg, *t), tuple(stacked))
     return out.reshape(-1, cfg.nfeatures)[:k]
 
 
 def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
-                    spacing, fracr, fracc, sine, cose, valid, dyv, dxv):
+                    spacing, fracr, fracc, sine, cose, valid):
     ih, iw = ii.shape
     wsz = cfg.desc_wsz
     osz = cfg.orient_size
     wofs = jnp.float32(wsz * 0.5 - 0.5)
-    gathered = not use_pallas(cfg)
 
     n = cfg.desc_grid
     g = jnp.arange(n, dtype=jnp.int32) - cfg.max_iradius
@@ -105,7 +111,7 @@ def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
     j_ = jnp.tile(g, n)
 
     def one(ix, iy, step, iradius, iscale, spacing, fracr, fracc,
-            sine, cose, valid, dyv, dxv):
+            sine, cose, valid):
         inwin = (jnp.abs(i_) <= iradius) & (jnp.abs(j_) <= iradius) & valid
         stepf = step.astype(jnp.float32)
         fi = i_.astype(jnp.float32)
@@ -124,13 +130,10 @@ def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
         # expression directly instead of gathering from the 40-entry LUT.
         weight = jnp.exp(-(jnp.clip(widx, 0, 39) + jnp.float32(0.5))
                          * jnp.float32(0.125))
-        if gathered:
-            rc = jnp.clip(r, iscale, ih - iscale - 2)
-            cc = jnp.clip(c, iscale, iw - iscale - 2)
-            wdx = wavelet_dx(ii, cc, rc, iscale).astype(jnp.float32)
-            wdy = wavelet_dy(ii, cc, rc, iscale).astype(jnp.float32)
-        else:
-            wdx, wdy = dxv, dyv
+        rc = jnp.clip(r, iscale, ih - iscale - 2)
+        cc = jnp.clip(c, iscale, iw - iscale - 2)
+        wdx = wavelet_dx(ii, cc, rc, iscale).astype(jnp.float32)
+        wdy = wavelet_dy(ii, cc, rc, iscale).astype(jnp.float32)
         dxx = weight * wdx * jnp.float32(0.003921568627)
         dyy = weight * wdy * jnp.float32(0.003921568627)
         if cfg.upright:
@@ -178,7 +181,7 @@ def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
         return desc.reshape(-1)
 
     desc = jax.vmap(one)(ix, iy, step, iradius, iscale, spacing,
-                         fracr, fracc, sine, cose, valid, dyv, dxv)
+                         fracr, fracc, sine, cose, valid)
     return l2_normalize(desc)
 
 

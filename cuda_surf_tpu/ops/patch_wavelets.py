@@ -1,4 +1,5 @@
-"""Batched Haar-wavelet sampling as a Pallas TPU kernel.
+"""Batched Haar-wavelet sampling (and descriptor binning) as Pallas TPU
+kernels.
 
 This is the TPU-native equivalent of the per-sample texture fetches in the
 reference's descriptor / orientation kernels (describeURWithoutNormalization
@@ -24,16 +25,26 @@ facts:
                       where F(c) = ii[y+s+1, c] - ii[y-s, c]
 
     so the full sample grid is (row-combination matrix) @ patch @
-    (column-combination matrix): two MXU matmuls against +/-1 selection
+    (column-combination matrix): MXU matmuls against +/-1 selection
     matrices built from iota comparisons — no gathers at all.
 
 2.  The matmuls are *exact* despite float hardware: the integer operand
-    is split into <=8-bit limbs (each exact in bfloat16), every limb dot
+    is split into 8-bit limbs (each exact in bfloat16), every limb dot
     against the +/-1 selection matrices is exact in the MXU's f32
-    accumulator, and the limbs are recombined in int32 arithmetic.  The
-    patch's first column is subtracted per row first (its contribution
-    cancels because every column stencil has zero coefficient sum),
-    which keeps the final wavelet values below 2^24.
+    accumulator, and the limbs are recombined in int32 arithmetic
+    (wraparound is modular, and the true wavelet values are < 2^24).
+    The patch's first column is subtracted per row first — its
+    contribution cancels because every column stencil has zero
+    coefficient sum.
+
+Two kernel modes:
+
+- "grids": emit the raw dy/dx sample grids (used by orientation
+  assignment, whose histogram runs in XLA).
+- "desc": additionally run the full SURF descriptor binning in-kernel
+  (sample geometry, Gaussian weights, bilinear 4x4x(4|8) binning as MXU
+  contractions for the upright path) and emit one 128-lane descriptor
+  row per keypoint — 384x less HBM output traffic than the grids.
 
 Keypoints are bucketed by patch extent (powers of two from 128), each
 bucket running one pallas_call whose grid covers a static capacity in
@@ -72,8 +83,6 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
     footprint half-extent ("span" = irad*step + s + 1) is <= span_limit
     get an (E_r, E_c) integral-image patch.  Extents double per bucket;
     once the patch covers the whole (padded) image every span fits.
-    Patch origins are aligned down to the (8, 128) VMEM tile, so the
-    usable extent shrinks by one tile worth of slack per axis.
     """
     specs = []
     e = 128
@@ -93,17 +102,237 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
     return specs
 
 
-def _wavelet_kernel(count_ref, meta_ref, ii_ref, out_ref, patch, sem,
-                    *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NBUF, RW):
-    """One grid step computes dy/dx sample grids for up to CH keypoints.
+def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
+    """dy/dx for the (2R+1)^2 sample grid of one keypoint, as two
+    (RH, 128) int-valued f32 grids (rows = sample i, lanes = sample j,
+    valid region [0:2R+1, 0:2R+1]).
 
-    meta is (8, cap) int32 — rows [r0, c0, iyl, ixl, step, s, irad, _]
-    (patch origin, keypoint position local to the patch, sample spacing,
-    wavelet half-size, sample radius); transposed so the SMEM minor dim is
-    the 128-aligned capacity.  Output block (CH, RW, 128): rows [0,R2) x cols [0,R2) hold
-    dy(i,j); rows [R2,2*R2) x cols [64,64+R2) hold dx(i,j).
+    Tiled G = Rw @ rel @ C evaluation; see module docstring.  The padded
+    scratch tail holds garbage that only ever feeds samples outside the
+    image — masked by callers.
     """
+    iyl, ixl, step, s, irad = scalars
     R2 = 2 * R + 1
+    RW = 2 * RH
+
+    def dot_limbs(xi, w, limbs, left=False):
+        """Exact int32 (xi:int32) @ (w:+/-1) — or w @ xi when `left` —
+        via bf16 limb matmuls and int32 limb recombination."""
+        wb = w.astype(jnp.bfloat16)
+        acc = None
+        for li in range(limbs):
+            p = xi >> (8 * li)
+            part = (p if li == limbs - 1 else (p & 255)).astype(jnp.bfloat16)
+            ab = (wb, part) if left else (part, wb)
+            d = lax.dot_general(ab[0], ab[1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            di = d.astype(jnp.int32) << (8 * li)
+            acc = di if acc is None else acc + di
+        return acc
+
+    # `rel` entries are rectangle sums reaching back to image row 0
+    # (up to 255 * image_height * E_c ~ 2^28+), and |A| <= 2*max|rel|:
+    # 4 limbs cover the full int32 range, keeping every limb <= 2^8 so
+    # each stays bf16-exact.
+    limbs = 4
+
+    def col_weights(ci):
+        """(CC, 128) dy and dx column-combination weights for chunk ci."""
+        cc = pl.multiple_of(ci * CC, 128)
+        ec = cc + lax.broadcasted_iota(jnp.int32, (CC, 128), 0)
+        jc = lax.broadcasted_iota(jnp.int32, (CC, 128), 1)
+        ok_c = (jnp.abs(jc - R) <= irad) & (jc < R2)
+        bc = ixl + (jc - R) * step
+
+        def eqc(t):
+            return (ec == t).astype(jnp.int32)
+
+        c_dy = eqc(bc + s + 1) - eqc(bc - s)
+        c_dx = eqc(bc + s + 1) + eqc(bc - s) - eqc(bc) - eqc(bc + 1)
+        zero = jnp.int32(0)
+        return (jnp.where(ok_c, c_dy, zero).astype(jnp.float32),
+                jnp.where(ok_c, c_dx, zero).astype(jnp.float32))
+
+    def row_weights(bi):
+        """(RW, RC) row-combination weights for row chunk bi:
+        rows [0,R2) dy combos, rows [RH,RH+R2) dx combos."""
+        cb = pl.multiple_of(bi * RC, 8)
+        ri = lax.broadcasted_iota(jnp.int32, (RW, RC), 0)
+        e = cb + lax.broadcasted_iota(jnp.int32, (RW, RC), 1)
+        is_dy = ri < RH
+        g = jnp.where(is_dy, ri, ri - RH)
+        ok_r = (jnp.abs(g - R) <= irad) & (g < R2)
+        br = iyl + (g - R) * step
+
+        def eq(t):
+            return (e == t).astype(jnp.int32)
+
+        w_dy = eq(br) + eq(br + 1) - eq(br - s) - eq(br + s + 1)
+        w_dx = eq(br + s + 1) - eq(br - s)
+        return jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0
+                         ).astype(jnp.float32)
+
+    def cc_body(ci, G):
+        cdy, cdx = col_weights(ci)
+        cc = pl.multiple_of(ci * CC, 128)
+
+        def cb_body(bi, A):
+            cb = pl.multiple_of(bi * RC, 8)
+            Rw = row_weights(bi)
+            pc = patch[slot, pl.ds(cb, RC), pl.ds(cc, CC)]
+            pb = patch[slot, pl.ds(cb, RC), 0:1]
+            return A + dot_limbs(pc - pb, Rw, limbs, left=True)
+
+        A = lax.fori_loop(0, E_rp // RC, cb_body,
+                          jnp.zeros((RW, CC), jnp.int32))
+        g_dy = dot_limbs(A[:RH], cdy, limbs)
+        g_dx = dot_limbs(A[RH:], cdx, limbs)
+        return G + jnp.concatenate([g_dy, g_dx], axis=0)
+
+    G = lax.fori_loop(0, E_cp // CC, cc_body,
+                      jnp.zeros((RW, 128), jnp.int32))
+    return G[:RH].astype(jnp.float32), G[RH:].astype(jnp.float32)
+
+
+def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
+    """In-kernel SURF descriptor binning (placeInIndex + addSample,
+    surfd.cu:1199-1317): one (128,)-lane descriptor row from the dy/dx
+    sample grids.  Bilinear bin weights and orientation channels are
+    contracted on the MXU for the upright path; the rotated path uses
+    per-(row,col)-bin masked reductions."""
+    wsz, osz, upright, extended, ih, iw = cfg_s
+    iy, ix, step, s, irad = iscalars
+    fracr, fracc, spacing, sine, cose = fscalars
+    R2 = 2 * R + 1
+    wofs = jnp.float32(wsz * 0.5 - 0.5)
+
+    fi = (lax.broadcasted_iota(jnp.int32, (RH, 128), 0) - R)
+    fj = (lax.broadcasted_iota(jnp.int32, (RH, 128), 1) - R)
+    fif = fi.astype(jnp.float32)
+    fjf = fj.astype(jnp.float32)
+    stepf = step.astype(jnp.float32)
+
+    rpos = (stepf * (cose * fif + sine * fjf) - fracr) / spacing
+    cpos = (stepf * (-sine * fif + cose * fjf) - fracc) / spacing
+    rx = rpos + wofs
+    cx = cpos + wofs
+    r = iy + fi * step
+    c = ix + fj * step
+    ok = ((jnp.abs(fi) <= irad) & (jnp.abs(fj) <= irad)
+          & (fi + R < R2) & (fj + R < R2)
+          & (rx > -1) & (rx < wsz) & (cx > -1) & (cx < wsz)
+          & (r >= 1 + s) & (r < ih - 1 - s)
+          & (c >= 1 + s) & (c < iw - 1 - s))
+    widx = jnp.trunc(jnp.clip(rpos * rpos + cpos * cpos, 0, 39))
+    weight = jnp.exp(-(widx + jnp.float32(0.5)) * jnp.float32(0.125))
+    r255 = jnp.float32(0.003921568627)
+    dxx = weight * dxv * r255
+    dyy = weight * dyv * r255
+    if upright:
+        dx, dy = dxx, dyy
+    else:
+        dx = cose * dxx + sine * dyy
+        dy = sine * dxx - cose * dyy
+
+    zero = jnp.float32(0.0)
+    if not extended:
+        ov = [jnp.where(dx < 0, dx, zero), jnp.where(dx < 0, zero, dx),
+              jnp.where(dy < 0, dy, zero), jnp.where(dy < 0, zero, dy)]
+    else:
+        adx, ady = jnp.abs(dx), jnp.abs(dy)
+        ny_, nx_ = dyy < 0, dxx < 0
+        ov = [jnp.where(ny_, dx, zero), jnp.where(ny_, zero, dx),
+              jnp.where(ny_, adx, zero), jnp.where(ny_, zero, adx),
+              jnp.where(nx_, dy, zero), jnp.where(nx_, zero, dy),
+              jnp.where(nx_, ady, zero), jnp.where(nx_, zero, ady)]
+
+    ri = jnp.floor(rx).astype(jnp.int32)
+    ci = jnp.floor(cx).astype(jnp.int32)
+    rfrac = rx - ri.astype(jnp.float32)
+    cfrac = cx - ci.astype(jnp.float32)
+
+    def bin_w(i0, frac, a):
+        return (jnp.where(i0 == a, 1.0 - frac, zero)
+                + jnp.where(i0 == a - 1, frac, zero))
+
+    if upright:
+        # rx depends on the sample row only and cx on the sample column
+        # only, so the bilinear binning factorizes into two MXU
+        # contractions producing the (a*wsz+b)*osz+o descriptor layout
+        # directly (lane l decodes to a_l, b_l, o_l).
+        lane = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        a_l = lane // (wsz * osz)
+        b_l = (lane // osz) % wsz
+        o_l = lane % osz
+        in_l = lane < wsz * wsz * osz
+
+        # Wbo (128_j, 128_l): column bin weight of sample column j for
+        # lane l's b-bin, masked by the column-separable part of `ok`.
+        jgrid = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        fj_c = jgrid - R
+        cx_c = (stepf * cose * fj_c.astype(jnp.float32) - fracc) \
+            / spacing + wofs
+        cc_ = ix + fj_c * step
+        ok_c = ((jnp.abs(fj_c) <= irad) & (fj_c + R < R2)
+                & (cx_c > -1) & (cx_c < wsz)
+                & (cc_ >= 1 + s) & (cc_ < iw - 1 - s))
+        ci_c = jnp.floor(cx_c).astype(jnp.int32)
+        cf_c = cx_c - ci_c.astype(jnp.float32)
+        wbo = jnp.where(ok_c & in_l, bin_w(ci_c, cf_c, b_l), zero)
+
+        # Vcat (osz*RH, 128): the o-th RH-row block is V_o = ov_o with
+        # the row-separable `ok` part folded in.
+        igrid = lax.broadcasted_iota(jnp.int32, (osz * RH, 128), 0)
+        o_r = igrid // RH
+        fi_r = (igrid % RH) - R
+        rx_r = (stepf * cose * fi_r.astype(jnp.float32) - fracr) \
+            / spacing + wofs
+        rr_ = iy + fi_r * step
+        ok_r = ((jnp.abs(fi_r) <= irad) & (fi_r + R < R2)
+                & (rx_r > -1) & (rx_r < wsz)
+                & (rr_ >= 1 + s) & (rr_ < ih - 1 - s))
+        vcat = jnp.concatenate(ov, axis=0)
+
+        P = lax.dot_general(vcat, wbo, (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        # Wao (osz*RH, 128): row bin weight for lane l's a-bin, gated on
+        # the block's o matching lane l's o-bin.
+        ri_r = jnp.floor(rx_r).astype(jnp.int32)
+        rf_r = rx_r - ri_r.astype(jnp.float32)
+        a_lr = ((lax.broadcasted_iota(jnp.int32, (osz * RH, 128), 1))
+                // (wsz * osz))
+        o_lr = lax.broadcasted_iota(jnp.int32, (osz * RH, 128), 1) % osz
+        wao = jnp.where(ok_r & (o_r == o_lr), bin_w(ri_r, rf_r, a_lr), zero)
+        return jnp.sum(wao * P, axis=0)
+
+    # rotated: rx/cx depend on both sample axes; masked reductions per
+    # (a, b) bin pair, accumulated into static one-hot lanes.
+    okf = ok.astype(jnp.float32)
+    desc = jnp.zeros((1, 128), jnp.float32)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for a in range(wsz):
+        wa = bin_w(ri, rfrac, a)
+        for b in range(wsz):
+            t = wa * bin_w(ci, cfrac, b) * okf
+            for o in range(osz):
+                val = jnp.sum(t * ov[o])
+                l = (a * wsz + b) * osz + o
+                desc = desc + jnp.where(lane == l, val, zero)
+    return desc[0]
+
+
+def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, sem,
+            *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NBUF, RH, mode, cfg_s):
+    """One grid step processes up to CH keypoints.
+
+    meta is (8, cap) int32 — rows [r0, c0, iyl, ixl, step, s, irad, _];
+    fpar is (8, cap) float32 — rows [fracr, fracc, spacing, sine, cose]
+    (descriptor mode only); both transposed so the SMEM minor dim is the
+    128-aligned capacity.  Output block: mode "grids" (CH, 2*RH, 128)
+    with dy at [0:R2, 0:R2] and dx at [RH:RH+R2, 0:R2]; mode "desc"
+    (CH, 128) descriptor rows.
+    """
     gid = pl.program_id(0)
     count = count_ref[0]
     base = gid * CH
@@ -133,131 +362,63 @@ def _wavelet_kernel(count_ref, meta_ref, ii_ref, out_ref, patch, sem,
             dma(k, 0).start()
         dma(k, slot).wait()
 
-        iyl = meta_ref[2, k]
-        ixl = meta_ref[3, k]
-        step = meta_ref[4, k]
-        s = meta_ref[5, k]
-        irad = meta_ref[6, k]
-
-        # Tiled evaluation of G = Rw @ rel @ Cw, where rel is the patch
-        # minus its first column (per row), Rw (RW, E_r) holds the dy/dx
-        # row-combination weights (rows [0,R2) dy, [R2,2*R2) dx) and
-        # Cw (E_c, 128) the column weights (cols [0,R2) dy, [64,64+R2) dx).
-        # fori tiles keep the float32 patch copy and all iota temporaries
-        # bounded (and reused) regardless of the bucket's patch extent.
-        # The scratch's padded tail rows/cols hold garbage, which only
-        # ever feeds samples outside the image — masked by callers.
-        #
-        # Exactness: the integer operand of each matmul is split into
-        # <=8-bit limbs (exact in bfloat16); the weight matrices are +/-1,
-        # so every limb product and its f32-accumulated dot (<= 4 nonzero
-        # terms, |d| <= 1020) is exact.  The limbs are recombined in int32
-        # — each limb dot converts exactly and int32 wraparound is modular,
-        # so the recombined value is exact whenever the true result is in
-        # range (wavelet values < 2^24).  f32 limb recombination would NOT
-        # be: `rel` entries are rectangle sums bounded only by 255*E_r*E_c
-        # (~2^28), so scaled limb components pass through magnitudes where
-        # f32 rounds.
-        def _limb(xi, li, last):
-            # top limb keeps the sign (arithmetic shift), lower limbs are
-            # masked to 8 bits; recombination is exact for any int32.
-            p = xi >> (8 * li)
-            return (p if last else (p & 255)).astype(jnp.bfloat16)
-
-        def dot_limbs(xi, w, limbs, left=False):
-            """Exact int32 (xi:int32) @ (w:+/-1) — or w @ xi when `left` —
-            via bf16 limb matmuls and int32 limb recombination."""
-            wb = w.astype(jnp.bfloat16)
-            acc = None
-            for li in range(limbs):
-                part = _limb(xi, li, li == limbs - 1)
-                ab = (wb, part) if left else (part, wb)
-                d = lax.dot_general(ab[0], ab[1], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                di = d.astype(jnp.int32) << (8 * li)
-                acc = di if acc is None else acc + di
-            return acc
-
-        # `rel` entries are rectangle sums reaching back to image row 0
-        # (up to 255 * image_height * E_c ~ 2^28+), and |A| <= 2*max|rel|:
-        # 4 limbs cover the full int32 range, keeping the top limb <= 2^8
-        # so every limb stays bf16-exact.
-        m1_limbs = m2_limbs = 4
-
-        def cc_body(ci, G):
-            cc = pl.multiple_of(ci * CC, 128)
-            ec = cc + lax.broadcasted_iota(jnp.int32, (CC, 128), 0)
-            jc = lax.broadcasted_iota(jnp.int32, (CC, 128), 1)
-            is_dy_c = jc < R2
-            gj = jnp.where(is_dy_c, jc, jc - 64)
-            ok_c = (jnp.abs(gj - R) <= irad) & (
-                is_dy_c | ((jc >= 64) & (jc < 64 + R2)))
-            bc = ixl + (gj - R) * step
-
-            def eqc(t):
-                return (ec == t).astype(jnp.int32)
-
-            c_dy = eqc(bc + s + 1) - eqc(bc - s)
-            c_dx = eqc(bc + s + 1) + eqc(bc - s) - eqc(bc) - eqc(bc + 1)
-            Cw = jnp.where(ok_c, jnp.where(is_dy_c, c_dy, c_dx), 0
-                           ).astype(jnp.float32)
-
-            def cb_body(bi, A):
-                cb = pl.multiple_of(bi * RC, 8)
-                ri = lax.broadcasted_iota(jnp.int32, (RW, RC), 0)
-                e = cb + lax.broadcasted_iota(jnp.int32, (RW, RC), 1)
-                is_dy = ri < R2
-                g = jnp.where(is_dy, ri, ri - R2)
-                ok_r = (jnp.abs(g - R) <= irad) & (ri < 2 * R2)
-                br = iyl + (g - R) * step
-
-                def eq(t):
-                    return (e == t).astype(jnp.int32)
-
-                w_dy = eq(br) + eq(br + 1) - eq(br - s) - eq(br + s + 1)
-                w_dx = eq(br + s + 1) - eq(br - s)
-                Rw = jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0
-                               ).astype(jnp.float32)
-
-                pc = patch[slot, pl.ds(cb, RC), pl.ds(cc, CC)]
-                pb = patch[slot, pl.ds(cb, RC), 0:1]
-                return A + dot_limbs(pc - pb, Rw, m1_limbs, left=True)
-
-            A = lax.fori_loop(0, E_rp // RC, cb_body,
-                              jnp.zeros((RW, CC), jnp.int32))
-            return G + dot_limbs(A, Cw, m2_limbs)
-
-        G = lax.fori_loop(0, E_cp // CC, cc_body,
-                          jnp.zeros((RW, 128), jnp.int32))
-        out_ref[j] = G.astype(jnp.float32)
+        iscalars = (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
+                    meta_ref[5, k], meta_ref[6, k])
+        dyv, dxv = _sample_wavelets(
+            patch, slot, iscalars, R=R, RH=RH, E_rp=E_rp, E_cp=E_cp,
+            RC=RC, CC=CC)
+        if mode == "grids":
+            out_ref[j] = jnp.concatenate([dyv, dxv], axis=0)
+        else:
+            iyl, ixl = meta_ref[2, k], meta_ref[3, k]
+            gscalars = (meta_ref[0, k] + iyl, meta_ref[1, k] + ixl,
+                        meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
+            fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
+                        fpar_ref[3, k], fpar_ref[4, k])
+            out_ref[j] = _bin_descriptor(
+                dyv, dxv, gscalars, fscalars, R=R, RH=RH, cfg_s=cfg_s)
         return carry
 
     lax.fori_loop(0, n_here, body, 0)
 
+    zero_row = (jnp.zeros((2 * RH, 128), jnp.float32) if mode == "grids"
+                else jnp.zeros((128,), jnp.float32))
+
     def zero_body(j, carry):
-        out_ref[j] = jnp.zeros((RW, 128), jnp.float32)
+        out_ref[j] = zero_row
         return carry
 
     lax.fori_loop(n_here, CH, zero_body, 0)
 
 
-def _bucket_call(ii_pad, count, meta, *, R, E_r, E_c, cap, interpret):
+def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
+                 interpret, mode, cfg_s):
     R2 = 2 * R + 1
-    RW = _round_up(2 * R2, 8)
+    RH = _round_up(R2, 8)
     RC, CC = min(E_r, 256), min(E_c, 512)
     E_rp, E_cp = _round_up(E_r, RC), _round_up(E_c, CC)
     CH = 16 if E_r * E_c <= 512 * 512 else 4
+    if mode == "desc":
+        # descriptor rows are the (CH, 128) out block's sublanes: >= 8
+        CH = max(CH, 8)
     cap = _round_up(cap, CH)
     NBUF = 2 if E_rp * E_cp * 4 * 2 <= 6 * 1024 * 1024 else 1
     kernel = functools.partial(
-        _wavelet_kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
-        RC=RC, CC=CC, CH=CH, NBUF=NBUF, RW=RW)
+        _kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
+        RC=RC, CC=CC, CH=CH, NBUF=NBUF, RH=RH, mode=mode, cfg_s=cfg_s)
+    if mode == "grids":
+        out_block, out_shape = (CH, 2 * RH, 128), (cap, 2 * RH, 128)
+        out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_block, out_shape = (CH, 128), (cap, 128)
+        out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cap // CH,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((CH, RW, 128), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((NBUF, E_rp, E_cp), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
@@ -267,27 +428,21 @@ def _bucket_call(ii_pad, count, meta, *, R, E_r, E_c, cap, interpret):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, RW, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(count, meta, ii_pad)
+    )(count, meta, fpar, ii_pad)
 
 
-def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
-                  caps=None, interpret=False):
-    """Haar dy/dx on each keypoint's (2R+1)^2 sample grid.
-
-    ii: (H, W) int32 zero-padded integral image.  Per-keypoint int32
-    arrays (K,): sample-grid centre (ix, iy), sample spacing `step`,
-    wavelet half-size `iscale`, sample radius `irad` (samples with
-    |offset| > irad, or falling outside the image, are returned as 0 and
-    must be masked by the caller exactly like the reference's border
-    checks).  Returns (dy, dx), each (K, 2R+1, 2R+1) float32 holding raw
-    integer wavelet values (callers apply the 1/255 scale and weights).
-    """
+def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
+                  R, max_span, mode, cfg_s=None, caps=None,
+                  interpret=False):
+    """Shared bucketing orchestration: sort keypoints by patch span,
+    run one pallas_call per bucket, reassemble in original order.
+    Returns (K, ...) rows (grids: (K, 2*RH, 128); desc: (K, 128))."""
     K = ix.shape[0]
     R2 = 2 * R + 1
-    RW = _round_up(2 * R2, 8)
+    RH = _round_up(R2, 8)
     h, w = ii.shape
     h_pad, w_pad = _round_up(h, 8), _round_up(w, 128)
     ii_pad = jnp.pad(ii, ((0, h_pad - h), (0, w_pad - w)))
@@ -312,8 +467,8 @@ def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(cnts)[:-1]])
 
-    sorted_dy = jnp.zeros((K + max_cap, R2, R2), jnp.float32)
-    sorted_dx = jnp.zeros((K + max_cap, R2, R2), jnp.float32)
+    row_shape = (2 * RH, 128) if mode == "grids" else (128,)
+    sorted_out = jnp.zeros((K + max_cap,) + row_shape, jnp.float32)
 
     for b, (lim, E_r, E_c) in enumerate(specs):
         cap = caps[b]
@@ -330,14 +485,47 @@ def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
             jnp.take(step, sel), jnp.take(iscale, sel),
             jnp.take(irad, sel), jnp.zeros((cap,), jnp.int32),
         ], axis=0)
+        fpar = jnp.take(fparams, sel, axis=1)
         count = jnp.minimum(cnts[b], cap).reshape(1)
-        G = _bucket_call(ii_pad, count, meta, R=R, E_r=E_r, E_c=E_c,
-                         cap=cap, interpret=interpret)
-        sorted_dy = lax.dynamic_update_slice(
-            sorted_dy, G[:cap, :R2, :R2], (starts[b], 0, 0))
-        sorted_dx = lax.dynamic_update_slice(
-            sorted_dx, G[:cap, R2:2 * R2, 64:64 + R2], (starts[b], 0, 0))
+        out = _bucket_call(ii_pad, count, meta, fpar, R=R, E_r=E_r,
+                           E_c=E_c, cap=cap, interpret=interpret,
+                           mode=mode, cfg_s=cfg_s)
+        sorted_out = lax.dynamic_update_slice(
+            sorted_out, out[:cap], (starts[b],) + (0,) * len(row_shape))
 
     inv = jnp.zeros((K,), jnp.int32).at[order].set(
         jnp.arange(K, dtype=jnp.int32))
-    return jnp.take(sorted_dy, inv, axis=0), jnp.take(sorted_dx, inv, axis=0)
+    return jnp.take(sorted_out, inv, axis=0)
+
+
+def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
+                  caps=None, interpret=False):
+    """Haar dy/dx on each keypoint's (2R+1)^2 sample grid.
+
+    ii: (H, W) int32 zero-padded integral image.  Per-keypoint int32
+    arrays (K,): sample-grid centre (ix, iy), sample spacing `step`,
+    wavelet half-size `iscale`, sample radius `irad` (samples with
+    |offset| > irad, or falling outside the image, are returned as 0 and
+    must be masked by the caller exactly like the reference's border
+    checks).  Returns (dy, dx), each (K, 2R+1, 2R+1) float32 holding raw
+    integer wavelet values (callers apply the 1/255 scale and weights).
+    """
+    K = ix.shape[0]
+    R2 = 2 * R + 1
+    RH = _round_up(R2, 8)
+    fparams = jnp.zeros((8, K), jnp.float32)
+    G = _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams,
+                      R=R, max_span=max_span, mode="grids", caps=caps,
+                      interpret=interpret)
+    return G[:, :R2, :R2], G[:, RH:RH + R2, :R2]
+
+
+def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
+                    R, max_span, cfg_s, caps=None, interpret=False):
+    """Full in-kernel SURF descriptors: (K, 128) unnormalized rows
+    (features in lanes [0, wsz*wsz*osz)).  fparams is (8, K) float32
+    rows [fracr, fracc, spacing, sine, cose]; cfg_s is the static
+    tuple (wsz, osz, upright, extended, ih, iw)."""
+    return _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams,
+                         R=R, max_span=max_span, mode="desc", cfg_s=cfg_s,
+                         caps=caps, interpret=interpret)
