@@ -69,6 +69,40 @@ def write_pgm(path: str, img: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
+def write_ppm(path: str, img: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 RGB image as binary PPM (P6)."""
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    h, w, _ = img.shape
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(img.tobytes())
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write a uint8 grayscale (H, W) or RGB (H, W, 3) PNG."""
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    if img.ndim == 2:
+        h, w = img.shape
+        color, stride = 0, w
+    else:
+        h, w, c = img.shape
+        if c != 3:
+            raise ValueError("write_png expects gray or RGB")
+        color, stride = 2, 3 * w
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(_PNG_SIG)
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
 def read_png_gray(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
