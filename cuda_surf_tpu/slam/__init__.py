@@ -2,9 +2,12 @@ from .tracking import Intrinsics, default_intrinsics, track_pair, TrackResult
 from .posegraph import PoseGraph, optimize as optimize_pose_graph
 from .pipeline import SlamPipeline, FrameState
 from .evaluate import ate_rmse, umeyama_align
+from .checkpoint import save_pipeline, load_pipeline
+from .sequence import render_plane_sequence, run_sequence, SequenceResult
 
 __all__ = [
     "Intrinsics", "default_intrinsics", "track_pair", "TrackResult",
     "PoseGraph", "optimize_pose_graph", "SlamPipeline", "FrameState",
-    "ate_rmse", "umeyama_align",
+    "ate_rmse", "umeyama_align", "save_pipeline", "load_pipeline",
+    "render_plane_sequence", "run_sequence", "SequenceResult",
 ]

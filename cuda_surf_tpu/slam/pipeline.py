@@ -19,7 +19,35 @@ import numpy as np
 from ..config import SurfConfig
 from ..frontend import Surf
 from .tracking import Intrinsics, default_intrinsics, track_pair
+from ..geometry.epipolar import normalize_with_intrinsics
+from ..ba import BAProblem, BAState, run_lm
 from ..utils.metrics import MetricsLogger
+
+
+def _refine_pair(res, kp1, intr, n_iters: int = 5):
+    """Two-view bundle adjustment polish of a tracked pair: refine the
+    RANSAC relative pose + triangulated points with masked LM over the
+    inlier reprojections (camera 0 gauge-fixed at identity).  Returns
+    (R, t) with t renormalized to unit length (monocular gauge)."""
+    m = res.matches
+    x1 = normalize_with_intrinsics(jnp.stack([kp1.x, kp1.y], -1),
+                                   intr.fx, intr.fy, intr.cx, intr.cy)
+    x2 = normalize_with_intrinsics(jnp.stack([m.match_x, m.match_y], -1),
+                                   intr.fx, intr.fy, intr.cx, intr.cy)
+    P = x1.shape[0]
+    cam_idx = jnp.tile(jnp.arange(2, dtype=jnp.int32), (P, 1))
+    uv = jnp.stack([x1, x2], axis=1)                      # (P, 2, 2)
+    mask = jnp.stack([res.inliers, res.inliers], axis=1)
+    prob = BAProblem(cam_idx=cam_idx, uv=uv, mask=mask)
+    state = BAState(
+        R=jnp.stack([jnp.eye(3, dtype=jnp.float32), res.R]),
+        t=jnp.stack([jnp.zeros(3, jnp.float32), res.t]),
+        points=jnp.where(res.inliers[:, None], res.points3d,
+                         jnp.float32(1.0)))
+    out, _ = run_lm(state, prob, n_iters=n_iters)
+    R = out.R[1]
+    t = out.t[1]
+    return R, t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
 
 
 @dataclasses.dataclass
@@ -36,6 +64,7 @@ class SlamPipeline:
                  intrinsics: Intrinsics | None = None,
                  ratio: float = 0.95, min_inliers: int = 30,
                  keyframe_min_inlier_frac: float = 0.5,
+                 ba_refine: bool = False, ba_iters: int = 5,
                  seed: int = 0, metrics: MetricsLogger | None = None):
         self.cfg = cfg if cfg is not None else SurfConfig(
             max_pts=2048, candidates_per_octave=2048)
@@ -44,11 +73,15 @@ class SlamPipeline:
         self.ratio = ratio
         self.min_inliers = min_inliers
         self.kf_frac = keyframe_min_inlier_frac
+        self.ba_refine = ba_refine
         self.key = jax.random.PRNGKey(seed)
         self.metrics = metrics or MetricsLogger()
         self._track = jax.jit(
             lambda kp1, d1, kp2, d2, intr, key: track_pair(
                 kp1, d1, kp2, d2, intr, key, ratio=self.ratio))
+        self._refine = jax.jit(
+            lambda res, kp1, intr: _refine_pair(res, kp1, intr,
+                                                n_iters=ba_iters))
         self.frames: List[FrameState] = []
         self._prev = None          # (kps, desc)
         self._prev_depth = None    # median depth of last pair's landmarks
@@ -74,8 +107,13 @@ class SlamPipeline:
         self.key, sub = jax.random.split(self.key)
         res = self._track(kp1, d1, kps, desc, self.intr, sub)
         n_inl = int(res.n_inliers)
-        R_rel = np.asarray(res.R, np.float64)
-        t_rel = np.asarray(res.t, np.float64)
+        if self.ba_refine and n_inl >= self.min_inliers:
+            R_ref, t_ref = self._refine(res, kp1, self.intr)
+            R_rel = np.asarray(R_ref, np.float64)
+            t_rel = np.asarray(t_ref, np.float64)
+        else:
+            R_rel = np.asarray(res.R, np.float64)
+            t_rel = np.asarray(res.t, np.float64)
 
         # Monocular scale propagation: ratio of median triangulated depth
         # between consecutive pairs (unit scale for the first pair).

@@ -1,0 +1,99 @@
+"""Sequence harness: synthetic ground-truthed sequences + batch runner.
+
+TUM/KITTI-style datasets are directories of frames; `run_sequence`
+drives a SlamPipeline over either in-memory frames or image paths
+(through the native prefetching FrameLoader) and evaluates ATE against
+ground truth.  `render_plane_sequence` generates a synthetic textured
+ground-truthed sequence so the full SLAM stack is testable with no
+dataset dependencies (SURVEY.md section 4's "multi-host tests without a
+cluster" philosophy applied to data).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from .evaluate import ate_rmse
+from .pipeline import SlamPipeline
+from .tracking import Intrinsics
+
+
+class SequenceResult(NamedTuple):
+    trajectory: np.ndarray          # (N, 3) estimated camera centres
+    gt: np.ndarray | None           # (N, 3) ground-truth centres
+    ate: float | None
+    inliers: np.ndarray             # (N,)
+
+
+def render_plane_sequence(n_frames: int = 8, h: int = 240, w: int = 320,
+                          seed: int = 0, motion: float = 0.02):
+    """Camera translating/rotating above a textured plane at z=1.
+
+    Returns (frames uint8 (N, h, w), centres (N, 3), Intrinsics).  The
+    texture is smooth multi-scale noise so SURF finds stable blobs.
+    """
+    rng = np.random.default_rng(seed)
+    intr = Intrinsics(fx=0.9 * w, fy=0.9 * w, cx=w / 2.0, cy=h / 2.0)
+
+    # multi-scale smooth texture over the plane patch [-1,1]^2:
+    # bilinearly upsampled coarse noise at several cell sizes
+    T = 1024
+    tex = np.zeros((T, T))
+    gy, gx = np.mgrid[0:T, 0:T].astype(np.float64)
+    for cell in (8, 16, 32, 64):
+        g = rng.normal(0, 1, (T // cell + 2, T // cell + 2))
+        u, v = gx / cell, gy / cell
+        u0, v0 = u.astype(int), v.astype(int)
+        fu, fv = u - u0, v - v0
+        tex += (g[v0, u0] * (1 - fu) * (1 - fv) + g[v0, u0 + 1] * fu * (1 - fv)
+                + g[v0 + 1, u0] * (1 - fu) * fv + g[v0 + 1, u0 + 1] * fu * fv)
+    tex = (tex - tex.min()) / (np.ptp(tex) + 1e-9) * 255.0
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    frames, centres = [], []
+    for i in range(n_frames):
+        # camera pose: world->cam; camera at c_i looking down +z
+        ang = motion * i
+        c = np.array([motion * 2 * i, motion * np.sin(1.7 * i), -1.0])
+        Rz = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        R = Rz
+        t = -R @ c
+        # ray through each pixel: X = R^T (z_c * K^-1 u) + c, plane z=0
+        dx = (xx - intr.cx) / intr.fx
+        dy = (yy - intr.cy) / intr.fy
+        d_cam = np.stack([dx, dy, np.ones_like(dx)], -1)
+        d_world = d_cam @ R  # R^T d
+        lam = -c[2] / d_world[..., 2]
+        X = c[None, None, :] + lam[..., None] * d_world
+        u = (X[..., 0] * 0.35 + 0.5) * (T - 1)
+        v = (X[..., 1] * 0.35 + 0.5) * (T - 1)
+        u = np.clip(u, 0, T - 2)
+        v = np.clip(v, 0, T - 2)
+        u0, v0 = u.astype(int), v.astype(int)
+        fu, fv = u - u0, v - v0
+        img = (tex[v0, u0] * (1 - fu) * (1 - fv) + tex[v0, u0 + 1] * fu * (1 - fv)
+               + tex[v0 + 1, u0] * (1 - fu) * fv + tex[v0 + 1, u0 + 1] * fu * fv)
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+        centres.append(c)
+    return np.stack(frames), np.stack(centres), intr
+
+
+def run_sequence(pipe: SlamPipeline, frames, gt: np.ndarray | None = None,
+                 prefetch_depth: int = 4) -> SequenceResult:
+    """Drive the pipeline over `frames` (array of images, or a list of
+    image paths streamed through the native prefetching loader)."""
+    if len(frames) and isinstance(frames[0], str):
+        from ..io.native import FrameLoader
+        it = FrameLoader(list(frames), depth=prefetch_depth)
+    else:
+        it = iter(frames)
+    states = [pipe.process(np.asarray(f)) for f in it]
+    traj = pipe.trajectory()
+    inl = np.asarray([s.n_inliers for s in states])
+    ate = None
+    if gt is not None:
+        ate = ate_rmse(traj, np.asarray(gt), with_scale=True)
+    return SequenceResult(trajectory=traj, gt=gt, ate=ate, inliers=inl)
