@@ -1,3 +1,4 @@
 from .mesh import make_mesh, frame_sharding, replicated
+from .batch import BatchSurf
 
-__all__ = ["make_mesh", "frame_sharding", "replicated"]
+__all__ = ["make_mesh", "frame_sharding", "replicated", "BatchSurf"]
