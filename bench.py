@@ -40,16 +40,26 @@ def main():
     limg = jnp.asarray(left)
     rimg = jnp.asarray(right)
 
+    # One jitted call per iteration covering both frames (the reference
+    # demo also treats the pair as one iteration, main.cpp:241-245); on
+    # a tunneled TPU each dispatch costs ~1.5ms of fixed overhead, so
+    # per-frame launches would mis-measure the pipeline itself.
+    from cuda_surf_tpu.frontend import detect_and_compute
+
+    @jax.jit
+    def detect_pair(a, b):
+        kp1, d1 = detect_and_compute(a, cfg)
+        kp2, d2 = detect_and_compute(b, cfg)
+        return kp1, d1, kp2, d2
+
     # Warmup / compile
-    kp1, d1 = surf.detect_and_compute(limg)
-    kp2, d2 = surf.detect_and_compute(rimg)
+    kp1, d1, kp2, d2 = detect_pair(limg, rimg)
     jax.block_until_ready((kp1.count, d1, kp2.count, d2))
     n1, n2 = int(kp1.count), int(kp2.count)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        kp1, d1 = surf.detect_and_compute(limg)
-        kp2, d2 = surf.detect_and_compute(rimg)
+        kp1, d1, kp2, d2 = detect_pair(limg, rimg)
     jax.block_until_ready((d1, d2))
     detect_ms = (time.perf_counter() - t0) / ITERS * 1e3
 

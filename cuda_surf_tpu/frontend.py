@@ -35,7 +35,7 @@ def detect_and_compute(image: jnp.ndarray, cfg: SurfConfig,
     """
     h, w = image.shape
     ii = integral_image(image, cfg.doubled)
-    pyr = response_pyramid(ii, cfg, h, w)
+    pyr = response_pyramid(ii, cfg, h, w, img=image)
     sched = cfg.hessian_schedule(h, w)
 
     cand = detect(pyr, sched, cfg)

@@ -203,24 +203,51 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
         strength = v[9] + jnp.float32(0.5) * jnp.sum(off * g, axis=-1)
         return off, strength
 
-    off = jnp.zeros((cap, 3), jnp.float32)
-    strength = jnp.zeros((cap,), jnp.float32)
-    active = valid
-    r_fit, c_fit = r, c
-    for _ in range(cfg.interp_moves):
+    def step(lin, r, c, border, oh_t, ow_t, active):
+        """One fit + walk move; returns fit outputs and moved state."""
         off_new, strength_new = fit(lin)
-        off = jnp.where(active[:, None], off_new, off)
-        strength = jnp.where(active, strength_new, strength)
-        r_fit = jnp.where(active, r, r_fit)
-        c_fit = jnp.where(active, c, c_fit)
         dr = (jnp.where(active & (off_new[:, 1] > 0.6) & (r < oh_t - border), 1, 0)
               - jnp.where(active & (off_new[:, 1] < -0.6) & (r > border), 1, 0))
         dc = (jnp.where(active & (off_new[:, 2] > 0.6) & (c < ow_t - border), 1, 0)
               - jnp.where(active & (off_new[:, 2] < -0.6) & (c > border), 1, 0))
-        active = active & ((dr != 0) | (dc != 0))
-        r = r + dr
-        c = c + dc
-        lin = lin + dr * ow_t + dc
+        moved = active & ((dr != 0) | (dc != 0))
+        return (off_new, strength_new, r, c,
+                lin + dr * ow_t + dc, r + dr, c + dc, moved)
+
+    # Iteration 1 runs on all candidates; the (few) that need to keep
+    # walking are compacted into a half-capacity active set for the
+    # remaining iterations — the reference's early-exit (moves_remain,
+    # surfd.cu:800-809) expressed with static shapes.
+    off, strength, r_fit, c_fit, lin, r, c, active = step(
+        lin, r, c, border, oh_t, ow_t, valid)
+    off = jnp.where(valid[:, None], off, 0.0)
+    strength = jnp.where(valid, strength, 0.0)
+
+    cap2 = max(cap // 2, 16)
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    (_, v2, idx2, lin2, r2, c2, b2, oh2, ow2) = compact(
+        active, cap2, slots, lin, r, c, border, oh_t, ow_t)
+    off2 = jnp.take(off, idx2, axis=0)
+    strength2 = jnp.take(strength, idx2)
+    rf2 = jnp.take(r_fit, idx2)
+    cf2 = jnp.take(c_fit, idx2)
+    act2 = v2
+    for _ in range(cfg.interp_moves - 1):
+        off_n, s_n, rf_n, cf_n, lin2, r2, c2, moved = step(
+            lin2, r2, c2, b2, oh2, ow2, act2)
+        off2 = jnp.where(act2[:, None], off_n, off2)
+        strength2 = jnp.where(act2, s_n, strength2)
+        rf2 = jnp.where(act2, rf_n, rf2)
+        cf2 = jnp.where(act2, cf_n, cf2)
+        act2 = moved
+
+    # scatter the walked subset back (dropped-overflow actives keep
+    # their first-iteration fit)
+    dest = jnp.where(v2, idx2, cap)
+    off = off.at[dest].set(off2, mode="drop")
+    strength = strength.at[dest].set(strength2, mode="drop")
+    r_fit = r_fit.at[dest].set(rf2, mode="drop")
+    c_fit = c_fit.at[dest].set(cf2, mode="drop")
 
     good = valid
     good &= ~jnp.any(jnp.isnan(off), axis=1)

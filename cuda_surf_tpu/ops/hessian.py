@@ -16,18 +16,26 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import SurfConfig, ScaleParams
+from .integral import _scan_rows_tri, _scan_cols_tri_limbs
 
 
-def response_pyramid(ii: jnp.ndarray, cfg: SurfConfig, h: int, w: int):
+def response_pyramid(ii: jnp.ndarray, cfg: SurfConfig, h: int, w: int,
+                     img: jnp.ndarray | None = None):
     """-> list over octaves of (max_scale, Ho, Wo) float32 response maps.
 
     Out-of-border entries are zero, matching the reference's steady-state
     zeroed omem buffer (surf.cpp:347-348).  Scales 0-1 of octaves > 0 are
     seeded by 2x decimation of scales max_scale-3 / max_scale-1 of the
     previous octave (halfImage, surfd.cu:321-331).
+
+    When `img` is given on TPU (non-doubled), the phase planes are
+    computed from it with exact triangular MXU matmuls
+    (integral.phase_integral) instead of strided slices of `ii`.
     """
     shapes = cfg.octave_shapes(h, w)
     sched = cfg.hessian_schedule(h, w)
+    use_mxu_phases = (img is not None and not cfg.doubled
+                      and jax.default_backend() == "tpu")
     pyr = []
     for o in range(cfg.noctaves):
         oh, ow = shapes[o]
@@ -35,15 +43,16 @@ def response_pyramid(ii: jnp.ndarray, cfg: SurfConfig, h: int, w: int):
         if o > 0:
             layers.append(pyr[o - 1][cfg.max_scale - 3, : 2 * oh : 2, : 2 * ow : 2])
             layers.append(pyr[o - 1][cfg.max_scale - 1, : 2 * oh : 2, : 2 * ow : 2])
-        phases: dict = {}
+        phases: dict = {"rows": {}}
+        src = img if use_mxu_phases else None
         for sp in sched[o].scales:
-            layers.append(_response_layer(ii, sp, oh, ow, phases))
+            layers.append(_response_layer(ii, sp, oh, ow, phases, src))
         pyr.append(jnp.stack(layers))
     return pyr
 
 
 def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int,
-                    phases: dict):
+                    phases: dict, img: jnp.ndarray | None = None):
     """One scale's response map via phase-decimated box sums.
 
     Strided reads are hostile to the TPU's lane layout, so instead of 32
@@ -51,7 +60,10 @@ def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int,
     per needed (row, col) phase mod delta — `phases` caches these across
     the octave's scales — and every box-sum corner becomes a unit-stride
     slice of a phase plane, which XLA fuses into the elementwise
-    determinant computation with no extra materialization.
+    determinant computation with no extra materialization.  On TPU the
+    phase planes come straight from the image via exact triangular MXU
+    matmuls (integral.phase_integral); elsewhere they are strided slices
+    of `ii`.
     """
     b1, d = sp.border1, sp.delta
     ny, nx = oh - 2 * b1, ow - 2 * b1
@@ -63,8 +75,18 @@ def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int,
         # ii[d*(b1+y) + dy, d*(b1+x) + dx] for the full (ny, nx) grid.
         p, q = dy % d, dx % d
         if (p, q) not in phases:
-            phases[(p, q)] = lax.slice(
-                ii, (p, q), (ih, iw), (d, d))
+            if img is not None:
+                # row scans are shared across all row phases p of the
+                # same column phase q (they only depend on (d, q))
+                rows = phases["rows"]
+                if q not in rows:
+                    wq = (iw - 1 - q) // d + 1
+                    rows[q] = _scan_rows_tri(img.astype(jnp.bfloat16),
+                                             wq, d, q)
+                hp = (ih - 1 - p) // d + 1
+                phases[(p, q)] = _scan_cols_tri_limbs(rows[q], hp, d, p)
+            else:
+                phases[(p, q)] = lax.slice(ii, (p, q), (ih, iw), (d, d))
         ph = phases[(p, q)]
         y0, x0 = b1 + dy // d, b1 + dx // d
         return lax.slice(ph, (y0, x0), (y0 + ny, x0 + nx))

@@ -88,10 +88,10 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
     e = 128
     while True:
         er, ec = min(e, h_pad), min(2 * e, w_pad)
-        # The patch must hold rows/cols [i - span, i + span + 1] around the
-        # keypoint: origins are pre-biased then aligned down to the (8,128)
-        # tile, leaving the keypoint within half a tile of centre, so each
-        # margin is at least E/2 - tile/2 - 2.
+        # The patch must hold rows/cols [i - span, i + span + 1] around
+        # the keypoint: origins are pre-biased then aligned down to the
+        # (8, 128) tile, leaving the keypoint within half a tile of
+        # centre, so each margin is at least E/2 - tile/2 - 2.
         lim_r = 10 ** 9 if er >= h_pad else er // 2 - 6
         lim_c = 10 ** 9 if ec >= w_pad else ec // 2 - 66
         lim = min(lim_r, lim_c)
@@ -130,11 +130,14 @@ def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
             acc = di if acc is None else acc + di
         return acc
 
-    # `rel` entries are rectangle sums reaching back to image row 0
-    # (up to 255 * image_height * E_c ~ 2^28+), and |A| <= 2*max|rel|:
-    # 4 limbs cover the full int32 range, keeping every limb <= 2^8 so
-    # each stays bf16-exact.
-    limbs = 4
+    # After subtracting both the patch's first column (per row) and first
+    # row (per column) — each cancels exactly through the zero-sum
+    # stencils — `rel` entries are rectangle sums anchored at the patch
+    # origin: <= 255 * E_r * E_c, and |A| <= 2 * max|rel|.  Limb counts
+    # follow those static bounds (top limb stays <= 2^8, bf16-exact).
+    rel_bits = (255 * E_rp * E_cp).bit_length()
+    m1_limbs = -(-rel_bits // 8)
+    m2_limbs = -(-(rel_bits + 1) // 8)
 
     def col_weights(ci):
         """(CC, 128) dy and dx column-combination weights for chunk ci."""
@@ -176,17 +179,21 @@ def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
         cdy, cdx = col_weights(ci)
         cc = pl.multiple_of(ci * CC, 128)
 
+        p_row = patch[slot, 0:1, pl.ds(cc, CC)]     # first patch row
+        p_corner = patch[slot, 0:1, 0:1]
+
         def cb_body(bi, A):
             cb = pl.multiple_of(bi * RC, 8)
             Rw = row_weights(bi)
             pc = patch[slot, pl.ds(cb, RC), pl.ds(cc, CC)]
             pb = patch[slot, pl.ds(cb, RC), 0:1]
-            return A + dot_limbs(pc - pb, Rw, limbs, left=True)
+            rel = (pc - pb) - (p_row - p_corner)
+            return A + dot_limbs(rel, Rw, m1_limbs, left=True)
 
         A = lax.fori_loop(0, E_rp // RC, cb_body,
                           jnp.zeros((RW, CC), jnp.int32))
-        g_dy = dot_limbs(A[:RH], cdy, limbs)
-        g_dx = dot_limbs(A[RH:], cdx, limbs)
+        g_dy = dot_limbs(A[:RH], cdy, m2_limbs)
+        g_dx = dot_limbs(A[RH:], cdx, m2_limbs)
         return G + jnp.concatenate([g_dy, g_dx], axis=0)
 
     G = lax.fori_loop(0, E_cp // CC, cc_body,
@@ -397,10 +404,7 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
     RH = _round_up(R2, 8)
     RC, CC = min(E_r, 256), min(E_c, 512)
     E_rp, E_cp = _round_up(E_r, RC), _round_up(E_c, CC)
-    CH = 16 if E_r * E_c <= 512 * 512 else 4
-    if mode == "desc":
-        # descriptor rows are the (CH, 128) out block's sublanes: >= 8
-        CH = max(CH, 8)
+    CH = 32 if E_r * E_c <= 512 * 512 else 8
     cap = _round_up(cap, CH)
     NBUF = 2 if E_rp * E_cp * 4 * 2 <= 6 * 1024 * 1024 else 1
     kernel = functools.partial(

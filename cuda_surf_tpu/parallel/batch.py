@@ -30,19 +30,27 @@ class BatchSurf:
     def __init__(self, cfg: SurfConfig | None = None, mesh=None, **kw):
         self.cfg = cfg if cfg is not None else SurfConfig(**kw)
         self.mesh = mesh if mesh is not None else make_mesh()
-        sh = frame_sharding(self.mesh)
 
-        @jax.jit
-        def _detect(images):
-            images = jax.lax.with_sharding_constraint(images, sh)
-            return jax.vmap(lambda im: detect_and_compute(im, self.cfg))(
-                images)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+
+        # shard_map + lax.map (not vmap): each device loops over its
+        # local frames, so the Pallas kernels run per-frame exactly as in
+        # the single-frame path (vmap would try to batch their scalar-
+        # prefetch grids, which TPU Pallas does not support).
+        def _local(images):
+            return jax.lax.map(
+                lambda im: detect_and_compute(im, self.cfg), images)
+
+        self._detect = jax.jit(shard_map(
+            _local, mesh=self.mesh, in_specs=P(axis),
+            out_specs=P(axis), check_rep=False))
 
         @jax.jit
         def _match(kp1, d1, kp2, d2):
             return jax.vmap(match_keypoints)(kp1, d1, kp2, d2)
 
-        self._detect = _detect
         self._match = _match
 
     def detect_and_compute(self, images):
