@@ -97,6 +97,40 @@ def test_describe_pallas_interpret_matches_gather(small_image):
                                atol=1e-6)
 
 
+def test_extended_descriptor_pallas_interpret(small_image):
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.frontend import detect_and_compute
+
+    cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
+                      extended=True, wavelet_method="gather")
+    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    img = jnp.asarray(small_image)
+    kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
+    kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
+    assert dA.shape[-1] == 128
+    v = np.asarray(kpA.valid)
+    np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
+                               atol=1e-5)
+
+
+def test_doubled_descriptor_pallas_interpret(small_image):
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.frontend import detect_and_compute
+
+    cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
+                      doubled=True, wavelet_method="gather")
+    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    img = jnp.asarray(small_image[:64, :80])
+    kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
+    kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
+    assert int(kpA.count) == int(kpB.count)
+    v = np.asarray(kpA.valid)
+    np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
+                               atol=1e-5)
+
+
 def test_orientation_pallas_interpret_matches_gather(small_image):
     import dataclasses
     from cuda_surf_tpu import SurfConfig
