@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 
 from ..config import NBIN, SEP_ANGLE, WINDOW, HWN, ORADIUS, ORADIUS_SQ, SurfConfig, lut1, bin_centers
@@ -63,6 +64,15 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
         wl = (dyg.reshape(k, n * n), dxg.reshape(k, n * n))
     else:
         wl = (jnp.zeros((k, 1), jnp.float32),) * 2
+
+    # chunk the histogram stage so the per-sample bin one-hots stay
+    # bounded (~(chunk, 361, 72) f32), instead of K x 361 x 72 at once
+    chunk = 512
+    pad = (-k) % chunk
+    args = [jnp.pad(a, (0, pad)) for a in (cx, cy, pixsi, step)]
+    args.append(jnp.pad(valid, (0, pad)))
+    args += [jnp.pad(a, ((0, pad), (0, 0))) for a in wl]
+    stacked = [a.reshape(-1, chunk, *a.shape[1:]) for a in args]
 
     g = jnp.arange(-ORADIUS, ORADIUS + 1, dtype=jnp.int32)
     y1 = jnp.repeat(g, 2 * ORADIUS + 1)      # (361,)
@@ -141,4 +151,5 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
         best = jnp.argmax(win_sums)
         return win_asums[best] / win_sums[best]
 
-    return jax.vmap(one)(cx, cy, pixsi, step, valid, *wl)
+    out = lax.map(lambda t: jax.vmap(one)(*t), tuple(stacked))
+    return out.reshape(-1)[:k]
