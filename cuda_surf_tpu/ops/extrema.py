@@ -102,37 +102,86 @@ def fit_stencils(resp: jnp.ndarray) -> jnp.ndarray:
         [g_s, g_r, g_c, h_ss, h_rr, h_cc, h_sr, h_sc, h_rc, c], axis=-1)
 
 
+def fit_dense(resp: jnp.ndarray):
+    """Dense quadratic fit solved at every pyramid position.
+
+    -> (ms, oh, ow, 4) float32 [off_s, off_r, off_c, peak_strength]:
+    the same partial-pivot Gaussian elimination as :func:`solve3`
+    evaluated elementwise over the whole pyramid, so the interpolation
+    walk only gathers 4 precomputed values per candidate instead of 10
+    stencils + a batched solve.  Border/end-scale values are garbage
+    (never sampled); singular fits give inf/nan (filtered downstream).
+    """
+    st = fit_stencils(resp)
+    g_s, g_r, g_c = st[..., 0], st[..., 1], st[..., 2]
+    h_ss, h_rr, h_cc = st[..., 3], st[..., 4], st[..., 5]
+    h_sr, h_sc, h_rc = st[..., 6], st[..., 7], st[..., 8]
+    center = st[..., 9]
+
+    # rows of [H | -g]
+    rows = [
+        [h_ss, h_sr, h_sc, -g_s],
+        [h_sr, h_rr, h_rc, -g_r],
+        [h_sc, h_rc, h_cc, -g_c],
+    ]
+
+    def pick(p, a, b, c):
+        return jnp.where(p == 0, a, jnp.where(p == 1, b, c))
+
+    a0, a1, a2 = (jnp.abs(rows[0][0]), jnp.abs(rows[1][0]),
+                  jnp.abs(rows[2][0]))
+    p0 = jnp.where(a1 > a0, 1, 0)
+    p0 = jnp.where(a2 > jnp.maximum(a0, a1), 2, p0)
+    r0 = [pick(p0, rows[0][j], rows[1][j], rows[2][j]) for j in range(4)]
+    r1 = [jnp.where(p0 == 1, rows[0][j], rows[1][j]) for j in range(4)]
+    r2 = [jnp.where(p0 == 2, rows[0][j], rows[2][j]) for j in range(4)]
+    f1 = r1[0] / r0[0]
+    f2 = r2[0] / r0[0]
+    r1 = [r1[j] - f1 * r0[j] for j in range(4)]
+    r2 = [r2[j] - f2 * r0[j] for j in range(4)]
+    swap = jnp.abs(r2[1]) > jnp.abs(r1[1])
+    r1, r2 = ([jnp.where(swap, r2[j], r1[j]) for j in range(4)],
+              [jnp.where(swap, r1[j], r2[j]) for j in range(4)])
+    f3 = r2[1] / r1[1]
+    r2 = [r2[j] - f3 * r1[j] for j in range(4)]
+    x2 = r2[3] / r2[2]
+    x1 = (r1[3] - r1[2] * x2) / r1[1]
+    x0 = (r0[3] - r0[1] * x1 - r0[2] * x2) / r0[0]
+    strength = center + jnp.float32(0.5) * (
+        x0 * g_s + x1 * g_r + x2 * g_c)
+    return jnp.stack([x0, x1, x2, strength], axis=-1)
+
+
 def _candidate_mask(resp: jnp.ndarray, osched: OctaveSchedule,
                     cfg: SurfConfig) -> jnp.ndarray:
     """Dense NMS candidate mask, (ms, oh, ow) bool."""
+    import numpy as np
+
     ms, oh, ow = resp.shape
-    nbhd_max = lax.reduce_window(
-        resp, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    # separable 3x3x3 max (same result, cheaper than one 3-D window)
+    nbhd_max = resp
+    for ax, dims in ((0, (3, 1, 1)), (1, (1, 3, 1)), (2, (1, 1, 3))):
+        nbhd_max = lax.reduce_window(nbhd_max, -jnp.inf, lax.max, dims,
+                                     (1, 1, 1), "SAME")
     pre = resp >= jnp.float32(0.8) * jnp.float32(cfg.thresh)
     is_max = resp >= nbhd_max
 
-    rows = lax.broadcasted_iota(jnp.int32, (oh, ow), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (oh, ow), 1)
+    # per-scale cell windows as an outer product of static 1-D masks
     mborders = osched.maximum_borders()
-    smask = []
-    window = []
+    row_ok = np.zeros((ms, oh, 1), bool)
+    col_ok = np.zeros((ms, 1, ow), bool)
     for s in range(ms):
         z = (s - 1) // 2
         # scales covered by the reference's 2x2x2 cells at layers
         # k = 2z+1: s in {2z+1, 2z+2}, except the very last scale plane
         # (the cas <= 3 restriction at surfd.cu:737).
-        ok = 1 <= s < ms - 1 and z < len(mborders)
-        if ok:
+        if 1 <= s < ms - 1 and z < len(mborders):
             mb = mborders[z]
             hc = max(0, (oh - 2 * mb - 1) // 2 + 1)
             wc = max(0, (ow - 2 * mb - 1) // 2 + 1)
-            win = ((rows >= mb) & (rows < mb + 2 * hc)
-                   & (cols >= mb) & (cols < mb + 2 * wc))
-        else:
-            win = jnp.zeros((oh, ow), bool)
-        smask.append(ok)
-        window.append(win)
-    window = jnp.stack(window)
+            row_ok[s, mb:mb + 2 * hc, 0] = True
+            col_ok[s, 0, mb:mb + 2 * wc] = True
+    window = jnp.asarray(row_ok) & jnp.asarray(col_ok)
     return pre & is_max & window
 
 
@@ -149,13 +198,14 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
     for o in range(noct):
         resp = pyr[o]
         masks.append(_candidate_mask(resp, scheds[o], cfg).reshape(-1))
-        stens.append(fit_stencils(resp).reshape(-1, 10))
+        stens.append(fit_dense(resp).reshape(-1, 4))
         offs.append(offs[-1] + resp.size)
         shapes.append(resp.shape)
     mask = jnp.concatenate(masks)
-    # ten flat (T,) maps: the walk gathers each with a flat 1D take,
-    # which TPU executes far faster than row-gathers of (T, 10)
-    sten = [jnp.concatenate([s[:, k] for s in stens]) for k in range(10)]
+    # four flat (T,) maps [off_s, off_r, off_c, strength]: the walk
+    # gathers each with a flat 1D take, which TPU executes far faster
+    # than row-gathers of (T, 4)
+    sten = [jnp.concatenate([s[:, k] for s in stens]) for k in range(4)]
     total = offs[-1]
 
     lin0 = lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
@@ -192,16 +242,8 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
 
     # --- interpolation walk (fixed iterations, flat gathers) -----------
     def fit(lin_idx):
-        v = [jnp.take(m, lin_idx) for m in sten]   # 10 x (cap,)
-        g = jnp.stack(v[0:3], -1)
-        H = jnp.stack([
-            jnp.stack([v[3], v[6], v[7]], -1),
-            jnp.stack([v[6], v[4], v[8]], -1),
-            jnp.stack([v[7], v[8], v[5]], -1),
-        ], -2)                                      # (cap, 3, 3)
-        off = jax.vmap(solve3)(H, -g)
-        strength = v[9] + jnp.float32(0.5) * jnp.sum(off * g, axis=-1)
-        return off, strength
+        v = [jnp.take(m, lin_idx) for m in sten]   # 4 x (cap,)
+        return jnp.stack(v[0:3], -1), v[3]
 
     def step(lin, r, c, border, oh_t, ow_t, active):
         """One fit + walk move; returns fit outputs and moved state."""
