@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Per-stage microbenchmarks (the perf-regression harness of SURVEY.md
+section 4, mirroring the reference demo's timed loops).
+
+Reports one JSON line per stage.  Stage timings use incremental program
+variants — each program includes everything up to its stage, so the
+difference between consecutive rows isolates one stage without paying
+the per-dispatch overhead of a tunneled TPU per stage.
+
+    python benchmarks/bench_stages.py [--iters 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from cuda_surf_tpu import SurfConfig
+from cuda_surf_tpu.io import read_pgm
+from cuda_surf_tpu.frontend import detect_and_compute
+from cuda_surf_tpu.ops.integral import integral_image
+from cuda_surf_tpu.ops.hessian import response_pyramid
+from cuda_surf_tpu.ops.extrema import detect
+from cuda_surf_tpu.ops.matcher import match_keypoints
+
+DATA = "/root/reference/data"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--image", default=f"{DATA}/left.pgm")
+    args = ap.parse_args()
+
+    cfg = SurfConfig(noctaves=4, thresh=4.0, upright=True, max_pts=4096,
+                     candidates_per_octave=4096)
+    img = jnp.asarray(read_pgm(args.image))
+    h, w = img.shape
+    sched = cfg.hessian_schedule(h, w)
+
+    def s_integral(im):
+        return integral_image(im)
+
+    def s_pyramid(im):
+        return response_pyramid(integral_image(im), cfg, h, w, img=im)
+
+    def s_detect(im):
+        pyr = response_pyramid(integral_image(im), cfg, h, w, img=im)
+        return detect(pyr, sched, cfg)
+
+    def s_keypoints(im):
+        return detect_and_compute(im, cfg, compute_descriptors=False)
+
+    def s_full(im):
+        return detect_and_compute(im, cfg)
+
+    stages = [("integral", s_integral), ("pyramid", s_pyramid),
+              ("detect", s_detect), ("keypoints", s_keypoints),
+              ("detect_describe", s_full)]
+    prev = 0.0
+    rows = []
+    for name, fn in stages:
+        f = jax.jit(fn)
+        r = f(img)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(args.iters):
+            r = f(img)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        ms = (time.time() - t0) / args.iters * 1e3
+        rows.append({"stage": name, "cumulative_ms": round(ms, 3),
+                     "stage_ms": round(ms - prev, 3)})
+        prev = ms
+
+    kps, desc = jax.jit(s_full)(img)
+    fm = jax.jit(lambda: match_keypoints(kps, desc, kps, desc))
+    m = fm()
+    _ = float(jnp.sum(m.score))
+    t0 = time.time()
+    for _ in range(args.iters):
+        m = fm()
+    _ = float(jnp.sum(m.score))
+    rows.append({"stage": "match", "cumulative_ms": None,
+                 "stage_ms": round((time.time() - t0) / args.iters * 1e3, 3)})
+
+    for row in rows:
+        print(json.dumps({"metric": "stage_ms", **row,
+                          "device": str(jax.devices()[0])}))
+
+
+if __name__ == "__main__":
+    main()
