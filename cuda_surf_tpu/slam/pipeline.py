@@ -65,7 +65,8 @@ class SlamPipeline:
                  ratio: float = 0.95, min_inliers: int = 30,
                  keyframe_min_inlier_frac: float = 0.5,
                  ba_refine: bool = False, ba_iters: int = 5,
-                 seed: int = 0, metrics: MetricsLogger | None = None):
+                 window_ba: int = 0, seed: int = 0,
+                 metrics: MetricsLogger | None = None):
         self.cfg = cfg if cfg is not None else SurfConfig(
             max_pts=2048, candidates_per_octave=2048)
         self.surf = Surf(self.cfg)
@@ -74,6 +75,8 @@ class SlamPipeline:
         self.min_inliers = min_inliers
         self.kf_frac = keyframe_min_inlier_frac
         self.ba_refine = ba_refine
+        self.window_ba = window_ba
+        self.map = None
         self.key = jax.random.PRNGKey(seed)
         self.metrics = metrics or MetricsLogger()
         self._track = jax.jit(
@@ -100,6 +103,10 @@ class SlamPipeline:
             st = FrameState(0, np.eye(3), np.zeros(3), 0, True)
             self.frames.append(st)
             self._prev = (kps, desc)
+            if self.window_ba:
+                from .mapping import KeyframeMap
+                self.map = KeyframeMap(self.intr, window=self.window_ba)
+                self.map.add_keyframe(jax.device_get(kps), st.R, st.t)
             self.metrics.log(frame=0, keypoints=int(kps.count), inliers=0)
             return st
 
@@ -136,6 +143,18 @@ class SlamPipeline:
         is_kf = n_inl < self.kf_frac * max(int(kp1.count), 1)
         st = FrameState(len(self.frames), R_w, t_w, n_inl, is_kf)
         self.frames.append(st)
+        if self.map is not None:
+            self.map.add_keyframe(
+                jax.device_get(kps), st.R, st.t,
+                match_index=np.asarray(res.matches.index),
+                match_ok=np.asarray(res.inliers))
+            cost = self.map.refine_window()
+            if cost is not None:
+                # write refined window poses back into the trajectory
+                for kf in self.map.keyframes[-self.map.window:]:
+                    self.frames[kf.index] = dataclasses.replace(
+                        self.frames[kf.index], R=kf.R, t=kf.t)
+                st = self.frames[-1]
         self._prev = (kps, desc)
         self.metrics.log(frame=st.index, keypoints=int(kps.count),
                          inliers=n_inl, keyframe=is_kf)

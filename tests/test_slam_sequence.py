@@ -52,3 +52,31 @@ def test_checkpoint_resume_matches_continuous(plane_seq, tmp_path):
     assert len(resumed.frames) == len(frames)
     np.testing.assert_allclose(res_resumed.trajectory,
                                res_full.trajectory, atol=1e-5)
+
+
+def test_windowed_ba_improves_or_matches(plane_seq):
+    frames, centres, intr = plane_seq
+    plain = run_sequence(_pipe(intrinsics=intr), frames, gt=centres)
+    win = run_sequence(_pipe(intrinsics=intr, window_ba=4),
+                       frames, gt=centres)
+    # windowed BA must produce a usable map and not degrade the
+    # trajectory materially
+    assert win.ate < plain.ate * 1.15
+
+
+def test_keyframe_map_tracks(plane_seq):
+    import jax
+    from cuda_surf_tpu.slam.mapping import KeyframeMap
+
+    frames, centres, intr = plane_seq
+    pipe = _pipe(intrinsics=intr, window_ba=4)
+    run_sequence(pipe, frames)
+    assert pipe.map is not None
+    n_tracked = sum(int((kf.track_id >= 0).sum())
+                    for kf in pipe.map.keyframes)
+    assert n_tracked > 200
+    built = pipe.map.build_problem()
+    assert built is not None
+    prob = built[0]
+    import numpy as np
+    assert int(np.asarray(prob.mask).any(axis=1).sum()) >= 8
