@@ -163,3 +163,33 @@ class SlamPipeline:
     def trajectory(self) -> np.ndarray:
         """Camera centres (N, 3): c = -R^T t."""
         return np.stack([-f.R.T @ f.t for f in self.frames])
+
+    def optimize_posegraph(self, n_iters: int = 10) -> float:
+        """Global pose-graph smoothing over the whole trajectory: one
+        SE(3) node per frame, edges from the recorded consecutive
+        relative poses, Gauss-Newton via slam.posegraph.optimize.
+        Returns the final summed edge residual."""
+        from .posegraph import PoseGraph, optimize
+        n = len(self.frames)
+        if n < 3:
+            return 0.0
+        R = jnp.asarray(np.stack([f.R for f in self.frames]), jnp.float32)
+        t = jnp.asarray(np.stack([f.t for f in self.frames]), jnp.float32)
+        # measured relative transforms T_i^-1 T_j from the stored chain
+        Ri = np.stack([f.R for f in self.frames])
+        ti = np.stack([f.t for f in self.frames])
+        rel_R = np.einsum("nij,nik->njk", Ri[:-1], Ri[1:])   # R_i^T R_j
+        rel_t = np.einsum("nij,ni->nj", Ri[:-1], ti[1:] - ti[:-1])
+        graph = PoseGraph(
+            R=R, t=t,
+            edge_i=jnp.arange(n - 1, dtype=jnp.int32),
+            edge_j=jnp.arange(1, n, dtype=jnp.int32),
+            rel_R=jnp.asarray(rel_R, jnp.float32),
+            rel_t=jnp.asarray(rel_t, jnp.float32),
+            weight=jnp.ones((n - 1,), jnp.float32))
+        out, costs = optimize(graph, n_iters=n_iters)
+        Ro = np.asarray(out.R)
+        to = np.asarray(out.t)
+        for i, f in enumerate(self.frames):
+            self.frames[i] = dataclasses.replace(f, R=Ro[i], t=to[i])
+        return float(np.asarray(costs)[-1])
