@@ -300,9 +300,18 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
                 & (rr_ >= 1 + s) & (rr_ < ih - 1 - s))
         vcat = jnp.concatenate(ov, axis=0)
 
-        P = lax.dot_general(vcat, wbo, (((1,), (0,)), ((), ())),
-                            precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
+        # ~f32-accurate product in 3 bf16 MXU passes (vs 6 for HIGHEST):
+        # split both operands into bf16 hi + residual, drop the lo*lo
+        # term (relative error ~2^-16 on these O(1) weights)
+        def d(a, b):
+            return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        vh = vcat.astype(jnp.bfloat16)
+        vl = (vcat - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = wbo.astype(jnp.bfloat16)
+        wl = (wbo - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        P = d(vh, wh) + d(vh, wl) + d(vl, wh)
         # Wao (osz*RH, 128): row bin weight for lane l's a-bin, gated on
         # the block's o matching lane l's o-bin.
         ri_r = jnp.floor(rx_r).astype(jnp.int32)
