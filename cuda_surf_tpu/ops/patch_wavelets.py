@@ -360,7 +360,7 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, sem,
             ii_ref.at[pl.ds(r0, E_r), pl.ds(c0, E_c)],
             patch.at[slot, pl.ds(0, E_r), pl.ds(0, E_c)], sem.at[slot])
 
-    if NBUF == 2:
+    if NBUF > 1:
         @pl.when((gid == 0) & (count > 0))
         def _():
             dma(0, 0).start()
@@ -370,7 +370,8 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, sem,
     def body(j, carry):
         k = base + j
         slot = lax.rem(k, NBUF)
-        if NBUF == 2:
+        if NBUF > 1:
+            # keep NBUF-1 patch DMAs in flight ahead of compute
             @pl.when(k + 1 < count)
             def _():
                 dma(k + 1, lax.rem(k + 1, NBUF)).start()
@@ -415,7 +416,7 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
     E_rp, E_cp = _round_up(E_r, RC), _round_up(E_c, CC)
     CH = 32 if E_r * E_c <= 512 * 512 else 8
     cap = _round_up(cap, CH)
-    NBUF = 2 if E_rp * E_cp * 4 * 2 <= 6 * 1024 * 1024 else 1
+    NBUF = 4 if E_rp * E_cp * 4 * 4 <= 6 * 1024 * 1024 else (2 if E_rp * E_cp * 4 * 2 <= 6 * 1024 * 1024 else 1)
     kernel = functools.partial(
         _kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
         RC=RC, CC=CC, CH=CH, NBUF=NBUF, RH=RH, mode=mode, cfg_s=cfg_s)

@@ -90,10 +90,27 @@ def compact(mask: jax.Array, capacity: int, *arrays):
     """
     mask = mask.reshape(-1)
     n = mask.shape[0]
-    cs = jnp.cumsum(mask.astype(jnp.int32))
-    count = jnp.minimum(cs[-1], capacity) if n else jnp.int32(0)
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    idx = jnp.searchsorted(cs, slots + 1).astype(jnp.int32)
+    if n >= (1 << 17):
+        # two-level: binary-search 128-element block counts, then find
+        # the in-block position from a row-gathered lane prefix sum —
+        # fewer dependent binary-search rounds than element-level search
+        B = 128
+        nb = -(-n // B)
+        mp = jnp.pad(mask, (0, nb * B - n)).reshape(nb, B)
+        bcs = jnp.cumsum(jnp.sum(mp, axis=1, dtype=jnp.int32))
+        count = jnp.minimum(bcs[-1], capacity)
+        blk = jnp.searchsorted(bcs, slots + 1).astype(jnp.int32)
+        base = jnp.where(blk > 0, jnp.take(bcs, jnp.maximum(blk - 1, 0)), 0)
+        rows = jnp.take(mp, blk, axis=0)                 # (capacity, B)
+        within = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+        pos = jnp.argmax((within == (slots + 1 - base)[:, None]) & rows,
+                         axis=1)
+        idx = (blk * B + pos).astype(jnp.int32)
+    else:
+        cs = jnp.cumsum(mask.astype(jnp.int32))
+        count = jnp.minimum(cs[-1], capacity) if n else jnp.int32(0)
+        idx = jnp.searchsorted(cs, slots + 1).astype(jnp.int32)
     out_valid = slots < count
     idx = jnp.where(out_valid, idx, 0)
     outs = []
