@@ -60,7 +60,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(ITERS):
         kp1, d1, kp2, d2 = detect_pair(limg, rimg)
-    jax.block_until_ready((d1, d2))
+    # forced readback: on the tunneled TPU, block_until_ready alone can
+    # return before the queue drains
+    _ = float(jnp.sum(d1)) + float(jnp.sum(d2))
     detect_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
     m = surf.match(kp1, d1, kp2, d2)
@@ -68,7 +70,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(ITERS):
         m = surf.match(kp1, d1, kp2, d2)
-    jax.block_until_ready(m.score)
+    _ = float(jnp.sum(m.score))
     match_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
     print(json.dumps({

@@ -12,7 +12,6 @@ all-reduce of (6C)^2 + 6C floats — independent of the number of points.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -43,7 +43,31 @@ def main(argv=None):
     ap.add_argument("--max-pts", type=int, default=4096)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--no-images", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="single-image detect benchmark (the reference's "
+                    "cudaSurfDemo, main.cpp:74-160; default iters 1000)")
     args = ap.parse_args(argv)
+
+    if args.single:
+        path = args.images[0] if args.images else os.path.join(
+            REFERENCE_DATA, "left.pgm")
+        img = jnp.asarray(imread_gray(path))
+        cfg = SurfConfig(noctaves=args.octaves, thresh=args.thresh,
+                         upright=not args.rotated, doubled=args.doubled,
+                         max_pts=args.max_pts,
+                         candidates_per_octave=args.max_pts)
+        surf = Surf(cfg)
+        kps, desc = surf.detect_and_compute(img)
+        jax.block_until_ready(desc)
+        iters = args.iters if args.iters != 100 else 1000
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            kps, desc = surf.detect_and_compute(img)
+        _ = float(jnp.sum(desc))   # forced readback: drain the queue
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{path}: {int(kps.count)} keypoints, "
+              f"{ms:.3f} ms/frame over {iters} iterations")
+        return
 
     paths = args.images or [os.path.join(REFERENCE_DATA, "left.pgm"),
                             os.path.join(REFERENCE_DATA, "right.pgm")]
@@ -78,7 +102,7 @@ def main(argv=None):
     for _ in range(args.iters):
         kp1, desc1 = surf.detect_and_compute(d1)
         kp2, desc2 = surf.detect_and_compute(d2)
-    jax.block_until_ready((desc1, desc2))
+    _ = float(jnp.sum(desc1)) + float(jnp.sum(desc2))  # drain the queue
     detect_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
     m = surf.match(kp1, desc1, kp2, desc2)
@@ -86,7 +110,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     for _ in range(args.iters):
         m = surf.match(kp1, desc1, kp2, desc2)
-    jax.block_until_ready(m.score)
+    _ = float(jnp.sum(m.score))
     match_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
     score = np.asarray(m.score)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import SurfConfig, lut2
+from ..config import SurfConfig
 from .integral import wavelet_dx, wavelet_dy
 from .patch_wavelets import descriptor_rows, use_pallas
 

@@ -19,18 +19,19 @@ has no global atomics, so detection is reformulated as:
   2. one global stream compaction of candidate *linear indices* across
      all octaves into a fixed-size buffer (types.compact).
 
-  3. a batched fixed-iteration interpolation walk.  The quadratic-fit
-     gradient/Hessian entries are precomputed as ten dense shifted-
-     difference maps over the whole pyramid (bandwidth-bound), so each
-     walk step is a flat 10-value gather per candidate plus a
-     branch-free 3x3 partial-pivot solve — the same float32 Gaussian
-     elimination as the reference, with the pivot swaps expressed as
-     selects so the whole walk vmaps without scatter/gather.
+  3. a batched fixed-iteration interpolation walk.  The quadratic fit
+     (the reference's float32 partial-pivot Gaussian elimination, pivot
+     swaps as selects) is solved DENSELY at every pyramid position from
+     shifted-difference stencil maps — pure vector math — so each walk
+     step is just a flat 4-value gather [off_s, off_r, off_c, strength]
+     per candidate; after the first step the still-walking candidates
+     are compacted into a half-capacity active set (the reference's
+     per-thread early exit with static shapes).
 """
 
 from __future__ import annotations
 
-import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -155,8 +156,6 @@ def fit_dense(resp: jnp.ndarray):
 def _candidate_mask(resp: jnp.ndarray, osched: OctaveSchedule,
                     cfg: SurfConfig) -> jnp.ndarray:
     """Dense NMS candidate mask, (ms, oh, ow) bool."""
-    import numpy as np
-
     ms, oh, ow = resp.shape
     # separable 3x3x3 max (same result, cheaper than one 3-D window)
     nbhd_max = resp

@@ -13,6 +13,7 @@ descriptors, ambiguity = second_best / (best + 1e-6)
 from __future__ import annotations
 
 import jax.numpy as jnp
+import jax
 from jax import lax
 
 from ..types import Keypoints, Matches
@@ -22,8 +23,10 @@ def match(desc1: jnp.ndarray, valid1: jnp.ndarray,
           desc2: jnp.ndarray, valid2: jnp.ndarray,
           x2: jnp.ndarray, y2: jnp.ndarray) -> Matches:
     neg = jnp.float32(-1e30)
+    # HIGH = bf16x3 passes: ~1e-6 relative score error on unit-norm
+    # descriptors, half the MXU passes of full-f32 emulation
     scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
-                     precision="float32")
+                     precision=jax.lax.Precision.HIGH)
     scores = jnp.where(valid2[None, :], scores, neg)
     # Best/second-best via two masked max passes: top_k sorts whole rows,
     # which is orders of magnitude slower on TPU than these fused

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..config import SurfConfig
 from ..frontend import detect_and_compute
 from ..ops.matcher import match_keypoints
-from .mesh import make_mesh, frame_sharding
+from .mesh import make_mesh
 
 
 class BatchSurf:

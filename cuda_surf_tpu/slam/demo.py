@@ -20,7 +20,6 @@ from .. import SurfConfig
 from ..utils.metrics import MetricsLogger
 from .pipeline import SlamPipeline
 from .sequence import render_plane_sequence, run_sequence
-from .tracking import Intrinsics
 from .evaluate import ate_rmse
 
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ba import BAProblem, BAState, run_lm
-from ..geometry.epipolar import normalize_with_intrinsics
 from .tracking import Intrinsics
 
 

@@ -11,7 +11,7 @@ cluster" philosophy applied to data).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import numpy as np
 
