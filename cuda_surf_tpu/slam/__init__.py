@@ -4,10 +4,12 @@ from .pipeline import SlamPipeline, FrameState
 from .evaluate import ate_rmse, umeyama_align
 from .checkpoint import save_pipeline, load_pipeline
 from .sequence import render_plane_sequence, run_sequence, SequenceResult
+from .loopclosure import LoopDetector, LoopClosure, optimize_with_loops
 
 __all__ = [
     "Intrinsics", "default_intrinsics", "track_pair", "TrackResult",
     "PoseGraph", "optimize_pose_graph", "SlamPipeline", "FrameState",
     "ate_rmse", "umeyama_align", "save_pipeline", "load_pipeline",
     "render_plane_sequence", "run_sequence", "SequenceResult",
+    "LoopDetector", "LoopClosure", "optimize_with_loops",
 ]

@@ -1,0 +1,135 @@
+"""Loop-closure detection and pose-graph integration.
+
+Completes the SLAM backend (BASELINE.json north star): candidate loop
+pairs are scored with the same MXU brute-force matcher as tracking and
+verified with RANSAC essential-matrix geometry; accepted closures become
+extra pose-graph edges (monocular scale for the loop translation is
+approximated from the current trajectory estimate — a pragmatic SE(3)
+stand-in for a full Sim(3) graph).
+
+Known limitation (monocular): loop translations are scaled by the
+*estimated* baseline, so loop edges constrain rotation and direction
+but cannot correct accumulated scale drift; a Sim(3) pose graph is the
+planned upgrade.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Keypoints
+from .posegraph import PoseGraph, optimize
+from .tracking import Intrinsics, track_pair
+
+
+class LoopClosure(NamedTuple):
+    i: int                  # earlier frame index
+    j: int                  # later frame index
+    R: np.ndarray           # relative rotation cam_i -> cam_j
+    t: np.ndarray           # unit-norm relative translation
+    n_inliers: int
+
+
+class LoopDetector:
+    """Verifies candidate loop pairs with matcher + RANSAC.
+
+    Frames are registered with their (host) keypoints and descriptors;
+    `query(j)` checks frame j against all frames i <= j - min_gap and
+    returns verified closures.
+    """
+
+    def __init__(self, intr: Intrinsics, min_gap: int = 5,
+                 min_inliers: int = 60, ratio: float = 0.9, seed: int = 1):
+        self.intr = intr
+        self.min_gap = min_gap
+        self.min_inliers = min_inliers
+        self.key = jax.random.PRNGKey(seed)
+        self._frames: List[tuple] = []      # (Keypoints, desc) on device
+        self._track = jax.jit(
+            lambda kp1, d1, kp2, d2, intr, key: track_pair(
+                kp1, d1, kp2, d2, intr, key, ratio=ratio))
+
+    def add(self, kps: Keypoints, desc) -> int:
+        self._frames.append((kps, desc))
+        return len(self._frames) - 1
+
+    def query(self, j: int | None = None) -> List[LoopClosure]:
+        if j is None:
+            j = len(self._frames) - 1
+        kpj, dj = self._frames[j]
+        out = []
+        for i in range(0, j - self.min_gap + 1):
+            kpi, di = self._frames[i]
+            self.key, sub = jax.random.split(self.key)
+            res = self._track(kpi, di, kpj, dj, self.intr, sub)
+            n = int(res.n_inliers)
+            if n >= self.min_inliers:
+                out.append(LoopClosure(
+                    i=i, j=j, R=np.asarray(res.R, np.float64),
+                    t=np.asarray(res.t, np.float64), n_inliers=n))
+        return out
+
+
+def optimize_with_loops(frames, closures: List[LoopClosure],
+                        n_iters: int = 15, loop_weight: float = 2.0,
+                        max_rot: float = 0.15, max_trans: float = 0.5):
+    """Pose-graph optimization over a frame chain plus loop edges.
+
+    `frames`: list with .R (world->cam) and .t attributes (the
+    pipeline's FrameState).  Loop translation directions are unit-norm
+    (monocular); each is scaled to the currently-estimated baseline
+    between its endpoints.  Loop edges inconsistent with the current
+    estimate beyond (max_rot radians, max_trans x baseline) are rejected
+    — near-zero-baseline revisits make essential-matrix poses
+    unreliable, the standard robust-acceptance gate.  Returns
+    (R (N,3,3), t (N,3), final_cost).
+    """
+    n = len(frames)
+    Ri = np.stack([f.R for f in frames])
+    ti = np.stack([f.t for f in frames])
+    edge_i = list(range(n - 1))
+    edge_j = list(range(1, n))
+    rel_R = list(np.einsum("nij,nik->njk", Ri[:-1], Ri[1:]))
+    rel_t = list(np.einsum("nij,ni->nj", Ri[:-1], ti[1:] - ti[:-1]))
+    weight = [1.0] * (n - 1)
+
+    centres = np.stack([-Ri[k].T @ ti[k] for k in range(n)])
+    for lc in closures:
+        # The detector measures T_rel with T_j = T_rel * T_i (camera-j
+        # point = R x_i + t); pose-graph edges are T_i^-1 T_j, so map the
+        # measurement through the current estimate of T_i.  The unit-norm
+        # monocular translation is scaled to the currently-estimated
+        # baseline between the endpoints.
+        base = np.linalg.norm(centres[lc.j] - centres[lc.i])
+        Riw = Ri[lc.i]
+        tiw = ti[lc.i]
+        e_R = Riw.T @ lc.R @ Riw
+        e_t = Riw.T @ (lc.R @ tiw + base * lc.t - tiw)
+        # consistency gate vs the current chain estimate
+        est_R = Riw.T @ Ri[lc.j]
+        est_t = Riw.T @ (ti[lc.j] - tiw)
+        dR = e_R.T @ est_R
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        dt = np.linalg.norm(e_t - est_t)
+        if ang > max_rot or dt > max_trans * (base + 1e-6):
+            continue
+        edge_i.append(lc.i)
+        edge_j.append(lc.j)
+        rel_R.append(e_R)
+        rel_t.append(e_t)
+        weight.append(loop_weight)
+
+    graph = PoseGraph(
+        R=jnp.asarray(Ri, jnp.float32), t=jnp.asarray(ti, jnp.float32),
+        edge_i=jnp.asarray(edge_i, jnp.int32),
+        edge_j=jnp.asarray(edge_j, jnp.int32),
+        rel_R=jnp.asarray(np.stack(rel_R), jnp.float32),
+        rel_t=jnp.asarray(np.stack(rel_t), jnp.float32),
+        weight=jnp.asarray(weight, jnp.float32))
+    out, costs = optimize(graph, n_iters=n_iters)
+    return (np.asarray(out.R), np.asarray(out.t),
+            float(np.asarray(costs)[-1]))

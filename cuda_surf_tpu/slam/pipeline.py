@@ -65,7 +65,8 @@ class SlamPipeline:
                  ratio: float = 0.95, min_inliers: int = 30,
                  keyframe_min_inlier_frac: float = 0.5,
                  ba_refine: bool = False, ba_iters: int = 5,
-                 window_ba: int = 0, seed: int = 0,
+                 window_ba: int = 0, loop_detect: bool = False,
+                 loop_min_gap: int = 5, seed: int = 0,
                  metrics: MetricsLogger | None = None):
         self.cfg = cfg if cfg is not None else SurfConfig(
             max_pts=2048, candidates_per_octave=2048)
@@ -77,6 +78,10 @@ class SlamPipeline:
         self.ba_refine = ba_refine
         self.window_ba = window_ba
         self.map = None
+        self.loop_detect = loop_detect
+        self.loop_min_gap = loop_min_gap
+        self.loops = []
+        self._detector = None
         self.key = jax.random.PRNGKey(seed)
         self.metrics = metrics or MetricsLogger()
         self._track = jax.jit(
@@ -107,6 +112,11 @@ class SlamPipeline:
                 from .mapping import KeyframeMap
                 self.map = KeyframeMap(self.intr, window=self.window_ba)
                 self.map.add_keyframe(jax.device_get(kps), st.R, st.t)
+            if self.loop_detect:
+                from .loopclosure import LoopDetector
+                self._detector = LoopDetector(self.intr,
+                                              min_gap=self.loop_min_gap)
+                self._detector.add(kps, desc)
             self.metrics.log(frame=0, keypoints=int(kps.count), inliers=0)
             return st
 
@@ -155,9 +165,14 @@ class SlamPipeline:
                     self.frames[kf.index] = dataclasses.replace(
                         self.frames[kf.index], R=kf.R, t=kf.t)
                 st = self.frames[-1]
+        if self._detector is not None:
+            self._detector.add(kps, desc)
+            found = self._detector.query()
+            self.loops.extend(found)
         self._prev = (kps, desc)
         self.metrics.log(frame=st.index, keypoints=int(kps.count),
-                         inliers=n_inl, keyframe=is_kf)
+                         inliers=n_inl, keyframe=is_kf,
+                         loops=len(self.loops))
         return st
 
     def trajectory(self) -> np.ndarray:
@@ -166,30 +181,14 @@ class SlamPipeline:
 
     def optimize_posegraph(self, n_iters: int = 10) -> float:
         """Global pose-graph smoothing over the whole trajectory: one
-        SE(3) node per frame, edges from the recorded consecutive
-        relative poses, Gauss-Newton via slam.posegraph.optimize.
-        Returns the final summed edge residual."""
-        from .posegraph import PoseGraph, optimize
-        n = len(self.frames)
-        if n < 3:
+        SE(3) node per frame, chain edges from the recorded consecutive
+        relative poses plus any detected loop-closure edges.  Returns
+        the final summed edge residual."""
+        from .loopclosure import optimize_with_loops
+        if len(self.frames) < 3:
             return 0.0
-        R = jnp.asarray(np.stack([f.R for f in self.frames]), jnp.float32)
-        t = jnp.asarray(np.stack([f.t for f in self.frames]), jnp.float32)
-        # measured relative transforms T_i^-1 T_j from the stored chain
-        Ri = np.stack([f.R for f in self.frames])
-        ti = np.stack([f.t for f in self.frames])
-        rel_R = np.einsum("nij,nik->njk", Ri[:-1], Ri[1:])   # R_i^T R_j
-        rel_t = np.einsum("nij,ni->nj", Ri[:-1], ti[1:] - ti[:-1])
-        graph = PoseGraph(
-            R=R, t=t,
-            edge_i=jnp.arange(n - 1, dtype=jnp.int32),
-            edge_j=jnp.arange(1, n, dtype=jnp.int32),
-            rel_R=jnp.asarray(rel_R, jnp.float32),
-            rel_t=jnp.asarray(rel_t, jnp.float32),
-            weight=jnp.ones((n - 1,), jnp.float32))
-        out, costs = optimize(graph, n_iters=n_iters)
-        Ro = np.asarray(out.R)
-        to = np.asarray(out.t)
+        Ro, to, cost = optimize_with_loops(self.frames, self.loops,
+                                           n_iters=n_iters)
         for i, f in enumerate(self.frames):
             self.frames[i] = dataclasses.replace(f, R=Ro[i], t=to[i])
-        return float(np.asarray(costs)[-1])
+        return cost

@@ -80,3 +80,23 @@ def test_keyframe_map_tracks(plane_seq):
     prob = built[0]
     import numpy as np
     assert int(np.asarray(prob.mask).any(axis=1).sum()) >= 8
+
+
+def test_loop_closure_detection_and_posegraph(plane_seq):
+    import numpy as np
+    from cuda_surf_tpu.slam import ate_rmse
+
+    frames, centres, intr = plane_seq
+    # out-and-back: the camera revisits earlier poses
+    frames = np.concatenate([frames, frames[-2::-1]])
+    centres = np.concatenate([centres, centres[-2::-1]])
+    pipe = _pipe(intrinsics=intr, loop_detect=True, loop_min_gap=4)
+    res = run_sequence(pipe, frames, gt=centres)
+    assert len(pipe.loops) > 0
+    # loop pairs must actually span the gap
+    assert all(lc.j - lc.i >= 4 for lc in pipe.loops)
+    cost = pipe.optimize_posegraph()
+    assert np.isfinite(cost)
+    ate_after = ate_rmse(pipe.trajectory(), centres)
+    # optimization must not blow up the trajectory
+    assert ate_after < max(2.0 * res.ate, 0.1)
