@@ -66,13 +66,23 @@ def residuals(state: BAState, prob: BAProblem):
 
 
 @f32_matmuls
-def cost(state: BAState, prob: BAProblem) -> jnp.ndarray:
+def cost(state: BAState, prob: BAProblem,
+         huber_delta: float | None = None) -> jnp.ndarray:
     r, _ = residuals(state, prob)
-    return 0.5 * jnp.sum(r * r)
+    if huber_delta is None:
+        return 0.5 * jnp.sum(r * r)
+    # Huber on the per-observation residual norm
+    n = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-20)
+    d = jnp.float32(huber_delta)
+    rho = jnp.where(n <= d, 0.5 * n * n, d * (n - 0.5 * d))
+    return jnp.sum(rho * prob.mask)
 
 
-def _jacobians(state: BAState, prob: BAProblem):
-    """Closed-form Jc (P, M, 2, 6), Jp (P, M, 2, 3), residual (P, M, 2)."""
+def _jacobians(state: BAState, prob: BAProblem,
+               huber_delta: float | None = None):
+    """Closed-form Jc (P, M, 2, 6), Jp (P, M, 2, 3), residual (P, M, 2).
+    With `huber_delta`, rows are IRLS-scaled by sqrt(min(1, delta/|r|))
+    so the normal equations realize the Huber robust kernel."""
     Rc = state.R[prob.cam_idx]
     tc = state.t[prob.cam_idx]
     X = state.points[:, None, :]
@@ -94,14 +104,21 @@ def _jacobians(state: BAState, prob: BAProblem):
     uv_hat = xc[..., :2] * inv_z[..., None]
     r = (uv_hat - prob.uv)
     m = prob.mask[..., None]
+    if huber_delta is not None:
+        n = jnp.sqrt(jnp.sum((r * m) ** 2, axis=-1, keepdims=True) + 1e-20)
+        sw = jnp.sqrt(jnp.minimum(1.0, jnp.float32(huber_delta) / n))
+        r = r * sw
+        Jc = Jc * sw[..., None]
+        Jp = Jp * sw[..., None]
     return Jc * m[..., None], Jp * m[..., None], r * m
 
 
 @f32_matmuls
-def _schur_system(state: BAState, prob: BAProblem, lam, n_cameras: int):
+def _schur_system(state: BAState, prob: BAProblem, lam, n_cameras: int,
+                  huber_delta: float | None = None):
     """Build the damped reduced camera system (S, b) and the point-solve
     residual pieces (Vinv, Wlist, g_p) for back-substitution."""
-    Jc, Jp, r = _jacobians(state, prob)
+    Jc, Jp, r = _jacobians(state, prob, huber_delta)
     P, M = prob.mask.shape
     C = n_cameras
 
@@ -157,8 +174,10 @@ def _block_eye(c):
 
 
 @f32_matmuls
-def lm_step(state: BAState, prob: BAProblem, lam, n_cameras: int):
-    Sm, bv, Vinv, W, g_p = _schur_system(state, prob, lam, n_cameras)
+def lm_step(state: BAState, prob: BAProblem, lam, n_cameras: int,
+            huber_delta: float | None = None):
+    Sm, bv, Vinv, W, g_p = _schur_system(state, prob, lam, n_cameras,
+                                         huber_delta)
     dc = jnp.linalg.solve(Sm, bv).reshape(n_cameras, 6)
     # back-substitute points: dp = -Vinv (g_p + W^T dc)
     dc_obs = dc[prob.cam_idx]                            # (P, M, 6)
@@ -172,14 +191,16 @@ def lm_step(state: BAState, prob: BAProblem, lam, n_cameras: int):
 
 @f32_matmuls
 def run_lm(state: BAState, prob: BAProblem, n_iters: int = 10,
-           lam0: float = 1e-3):
-    """Fixed-iteration LM with accept/reject damping (jit-friendly)."""
+           lam0: float = 1e-3, huber_delta: float | None = None):
+    """Fixed-iteration LM with accept/reject damping (jit-friendly).
+    `huber_delta` enables the Huber robust kernel (IRLS) — use ~1-3
+    pixels in normalized units for outlier-contaminated tracks."""
     n_cameras = state.R.shape[0]
 
     def body(_, carry):
         state, lam, c0 = carry
-        cand = lm_step(state, prob, lam, n_cameras)
-        c1 = cost(cand, prob)
+        cand = lm_step(state, prob, lam, n_cameras, huber_delta)
+        c1 = cost(cand, prob, huber_delta)
         ok = (c1 < c0) & jnp.isfinite(c1)
         state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, b, a), state, cand)
@@ -187,7 +208,7 @@ def run_lm(state: BAState, prob: BAProblem, n_iters: int = 10,
                         jnp.minimum(lam * 8.0, 1e6))
         return state, lam, jnp.where(ok, c1, c0)
 
-    c0 = cost(state, prob)
+    c0 = cost(state, prob, huber_delta)
     state, lam, c_final = lax.fori_loop(
         0, n_iters, body, (state, jnp.float32(lam0), c0))
     return state, c_final

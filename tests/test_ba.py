@@ -72,3 +72,36 @@ def test_distributed_lm_matches_single_device(rng):
     np.testing.assert_allclose(float(c_d), float(c_1), rtol=1e-2)
     np.testing.assert_allclose(np.asarray(final_d.t), np.asarray(final_1.t),
                                atol=1e-3)
+
+
+def test_huber_resists_outliers(rng):
+    import jax.numpy as jnp
+    from cuda_surf_tpu.ba import BAProblem, BAState, run_lm
+
+    n_cam, n_pts = 4, 64
+    X = rng.uniform([-2, -2, 6], [2, 2, 12], (n_pts, 3))
+    Rs = np.tile(np.eye(3), (n_cam, 1, 1)).astype(np.float32)
+    ts = np.stack([np.array([0.4 * c, 0, 0]) for c in range(n_cam)]
+                  ).astype(np.float32)
+    cam_idx = np.tile(np.arange(n_cam, dtype=np.int32), (n_pts, 1))
+    xc = np.einsum("cij,pj->pci", Rs, X) + ts[None]
+    uv = (xc[..., :2] / xc[..., 2:]).astype(np.float32)
+    uv += rng.normal(0, 5e-4, uv.shape)
+    # 10% gross outliers
+    n_out = n_pts * n_cam // 10
+    flat = uv.reshape(-1, 2)
+    idx = rng.choice(len(flat), n_out, replace=False)
+    flat[idx] += rng.normal(0, 0.3, (n_out, 2))
+    prob = BAProblem(jnp.asarray(cam_idx), jnp.asarray(uv),
+                     jnp.ones((n_pts, n_cam), bool))
+    state0 = BAState(jnp.asarray(Rs), jnp.asarray(ts + 0.02),
+                     jnp.asarray(X + 0.05, jnp.float32))
+
+    def pose_err(out):
+        return float(np.linalg.norm(np.asarray(out.t) - ts))
+
+    plain, _ = run_lm(state0, prob, n_iters=20)
+    robust, _ = run_lm(state0, prob, n_iters=20, huber_delta=1e-3)
+    # gross outliers wreck the quadratic fit; the Huber kernel shrugs
+    assert pose_err(robust) < 0.2 * pose_err(plain)
+    assert pose_err(robust) < 0.12
