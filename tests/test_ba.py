@@ -74,9 +74,11 @@ def test_distributed_lm_matches_single_device(rng):
                                atol=1e-3)
 
 
-def test_huber_resists_outliers(rng):
+def test_huber_resists_outliers():
     import jax.numpy as jnp
     from cuda_surf_tpu.ba import BAProblem, BAState, run_lm
+
+    rng = np.random.default_rng(42)
 
     n_cam, n_pts = 4, 64
     X = rng.uniform([-2, -2, 6], [2, 2, 12], (n_pts, 3))
