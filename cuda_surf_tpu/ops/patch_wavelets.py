@@ -116,18 +116,26 @@ def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
     RW = 2 * RH
 
     def dot_limbs(xi, w, limbs, left=False):
-        """Exact int32 (xi:int32) @ (w:+/-1) — or w @ xi when `left` —
-        via bf16 limb matmuls and int32 limb recombination."""
-        wb = w.astype(jnp.bfloat16)
+        """Exact int32 (xi:int32) @ (w:+/-1 int) — or w @ xi when `left`.
+
+        xi is decomposed into balanced base-256 digits (each in
+        [-128, 127], exact in int8) and contracted with the int8 MXU at
+        native int32 accumulation — exact for any operand magnitude and
+        2x the bf16 rate."""
+        wb = w.astype(jnp.int8)
         acc = None
+        t = xi
         for li in range(limbs):
-            p = xi >> (8 * li)
-            part = (p if li == limbs - 1 else (p & 255)).astype(jnp.bfloat16)
+            if li == limbs - 1:
+                d = t        # remaining digit fits int8 by the bound
+            else:
+                d = ((t & 255) ^ 128) - 128
+                t = (t - d) >> 8
+            part = d.astype(jnp.int8)
             ab = (wb, part) if left else (part, wb)
-            d = lax.dot_general(ab[0], ab[1], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            di = d.astype(jnp.int32) << (8 * li)
-            acc = di if acc is None else acc + di
+            dd = lax.dot_general(ab[0], ab[1], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            acc = dd if acc is None else acc + (dd << (8 * li))
         return acc
 
     # After subtracting both the patch's first column (per row) and first
@@ -153,8 +161,8 @@ def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
         c_dy = eqc(bc + s + 1) - eqc(bc - s)
         c_dx = eqc(bc + s + 1) + eqc(bc - s) - eqc(bc) - eqc(bc + 1)
         zero = jnp.int32(0)
-        return (jnp.where(ok_c, c_dy, zero).astype(jnp.float32),
-                jnp.where(ok_c, c_dx, zero).astype(jnp.float32))
+        return (jnp.where(ok_c, c_dy, zero),
+                jnp.where(ok_c, c_dx, zero))
 
     def row_weights(bi):
         """(RW, RC) row-combination weights for row chunk bi:
@@ -172,8 +180,7 @@ def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
 
         w_dy = eq(br) + eq(br + 1) - eq(br - s) - eq(br + s + 1)
         w_dx = eq(br + s + 1) - eq(br - s)
-        return jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0
-                         ).astype(jnp.float32)
+        return jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0)
 
     def cc_body(ci, G):
         cdy, cdx = col_weights(ci)
