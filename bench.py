@@ -73,6 +73,25 @@ def main():
     _ = float(jnp.sum(m.score))
     match_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
+    # secondary metric: the rotation-invariant path (orientation
+    # assignment + rotated descriptors), reference demo uses upright
+    import dataclasses
+    rcfg = dataclasses.replace(cfg, upright=False)
+
+    @jax.jit
+    def detect_pair_rot(a, b):
+        kp1, d1 = detect_and_compute(a, rcfg)
+        kp2, d2 = detect_and_compute(b, rcfg)
+        return d1, d2
+
+    r1, r2 = detect_pair_rot(limg, rimg)
+    _ = float(jnp.sum(r1))
+    t0 = time.perf_counter()
+    for _ in range(ITERS // 2):
+        r1, r2 = detect_pair_rot(limg, rimg)
+    _ = float(jnp.sum(r1)) + float(jnp.sum(r2))
+    rotated_ms = (time.perf_counter() - t0) / (ITERS // 2) * 1e3
+
     print(json.dumps({
         "metric": "surf_detect_describe_pair_ms",
         "value": round(detect_ms, 4),
@@ -80,6 +99,7 @@ def main():
         "vs_baseline": round(BASELINE_MS / detect_ms, 3),
         "extra": {
             "match_ms": round(match_ms, 4),
+            "rotated_pair_ms": round(rotated_ms, 4),
             "keypoints": [n1, n2],
             "device": str(jax.devices()[0]),
             "iters": ITERS,

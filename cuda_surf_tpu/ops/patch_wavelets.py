@@ -28,14 +28,14 @@ facts:
     (column-combination matrix): MXU matmuls against +/-1 selection
     matrices built from iota comparisons — no gathers at all.
 
-2.  The matmuls are *exact* despite float hardware: the integer operand
-    is split into 8-bit limbs (each exact in bfloat16), every limb dot
-    against the +/-1 selection matrices is exact in the MXU's f32
-    accumulator, and the limbs are recombined in int32 arithmetic
-    (wraparound is modular, and the true wavelet values are < 2^24).
-    The patch's first column is subtracted per row first — its
-    contribution cancels because every column stencil has zero
-    coefficient sum.
+2.  The matmuls are *exact*: the integer operand is decomposed into
+    balanced base-256 digits (each in [-128, 127]) and contracted with
+    the +/-1 selection matrices on the MXU's native int8 path with
+    int32 accumulation, then recombined by shifts — unconditionally
+    exact and twice the bf16 issue rate.  Subtracting the patch's first
+    row and column (whose contributions cancel through the zero-sum
+    stencils) bounds the values so the common bucket needs only three
+    digits.
 
 Two kernel modes:
 
