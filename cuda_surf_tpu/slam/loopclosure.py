@@ -32,6 +32,8 @@ class LoopClosure(NamedTuple):
     R: np.ndarray           # relative rotation cam_i -> cam_j
     t: np.ndarray           # unit-norm relative translation
     n_inliers: int
+    med_depth: float        # median inlier depth in the pair's
+                            # unit-baseline gauge (for scale recovery)
 
 
 class LoopDetector:
@@ -68,15 +70,20 @@ class LoopDetector:
             res = self._track(kpi, di, kpj, dj, self.intr, sub)
             n = int(res.n_inliers)
             if n >= self.min_inliers:
+                inl = np.asarray(res.inliers)
+                depths = np.asarray(res.points3d)[:, 2]
+                med = float(np.median(depths[inl])) if inl.any() else 1.0
                 out.append(LoopClosure(
                     i=i, j=j, R=np.asarray(res.R, np.float64),
-                    t=np.asarray(res.t, np.float64), n_inliers=n))
+                    t=np.asarray(res.t, np.float64), n_inliers=n,
+                    med_depth=med))
         return out
 
 
 def optimize_with_loops(frames, closures: List[LoopClosure],
                         n_iters: int = 15, loop_weight: float = 2.0,
-                        max_rot: float = 0.15, max_trans: float = 0.5):
+                        max_rot: float = 0.15, max_trans: float = 0.5,
+                        frame_depths=None):
     """Pose-graph optimization over a frame chain plus loop edges.
 
     `frames`: list with .R (world->cam) and .t attributes (the
@@ -85,8 +92,15 @@ def optimize_with_loops(frames, closures: List[LoopClosure],
     between its endpoints.  Loop edges inconsistent with the current
     estimate beyond (max_rot radians, max_trans x baseline) are rejected
     — near-zero-baseline revisits make essential-matrix poses
-    unreliable, the standard robust-acceptance gate.  Returns
-    (R (N,3,3), t (N,3), final_cost).
+    unreliable, the standard robust-acceptance gate.
+
+    With `frame_depths` (per-frame median scene depth in the VO's world
+    scale, tracked by the pipeline), the loop translation scale is
+    recovered from the closure's own triangulated depths — an
+    independent measurement that lets loop edges correct accumulated
+    scale drift; otherwise the currently-estimated baseline is used
+    (rotation-only correction).  Returns (R (N,3,3), t (N,3),
+    final_cost).
     """
     n = len(frames)
     Ri = np.stack([f.R for f in frames])
@@ -105,10 +119,16 @@ def optimize_with_loops(frames, closures: List[LoopClosure],
         # monocular translation is scaled to the currently-estimated
         # baseline between the endpoints.
         base = np.linalg.norm(centres[lc.j] - centres[lc.i])
+        scale = base
+        if frame_depths is not None and lc.med_depth > 1e-9:
+            # measured scale: the closure pair triangulates its scene at
+            # unit baseline; the same scene's depth in world scale is
+            # frame_depths[i], so the true baseline is their ratio
+            scale = float(frame_depths[lc.i]) / lc.med_depth
         Riw = Ri[lc.i]
         tiw = ti[lc.i]
         e_R = Riw.T @ lc.R @ Riw
-        e_t = Riw.T @ (lc.R @ tiw + base * lc.t - tiw)
+        e_t = Riw.T @ (lc.R @ tiw + scale * lc.t - tiw)
         # consistency gate vs the current chain estimate
         est_R = Riw.T @ Ri[lc.j]
         est_t = Riw.T @ (ti[lc.j] - tiw)

@@ -81,6 +81,7 @@ class SlamPipeline:
         self.loop_detect = loop_detect
         self.loop_min_gap = loop_min_gap
         self.loops = []
+        self.frame_depths = []
         self._detector = None
         self.key = jax.random.PRNGKey(seed)
         self.metrics = metrics or MetricsLogger()
@@ -117,6 +118,7 @@ class SlamPipeline:
                 self._detector = LoopDetector(self.intr,
                                               min_gap=self.loop_min_gap)
                 self._detector.add(kps, desc)
+            self.frame_depths.append(1.0)
             self.metrics.log(frame=0, keypoints=int(kps.count), inliers=0)
             return st
 
@@ -165,6 +167,7 @@ class SlamPipeline:
                     self.frames[kf.index] = dataclasses.replace(
                         self.frames[kf.index], R=kf.R, t=kf.t)
                 st = self.frames[-1]
+        self.frame_depths.append(self._prev_depth or 1.0)
         if self._detector is not None:
             self._detector.add(kps, desc)
             found = self._detector.query()
@@ -188,7 +191,8 @@ class SlamPipeline:
         if len(self.frames) < 3:
             return 0.0
         Ro, to, cost = optimize_with_loops(self.frames, self.loops,
-                                           n_iters=n_iters)
+                                           n_iters=n_iters,
+                                           frame_depths=self.frame_depths)
         for i, f in enumerate(self.frames):
             self.frames[i] = dataclasses.replace(f, R=Ro[i], t=to[i])
         return cost
