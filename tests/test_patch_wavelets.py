@@ -147,3 +147,22 @@ def test_orientation_pallas_interpret_matches_gather(small_image):
                                np.asarray(kpB.ori)[v], atol=1e-5)
     np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
                                atol=1e-5)
+
+
+def test_nondefault_config_parity(small_image):
+    """Non-default descriptor window / mask sizes through the kernel."""
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.frontend import detect_and_compute
+
+    for kw in (dict(desc_wsz=3), dict(init_mask_size=15)):
+        cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
+                          wavelet_method="gather", **kw)
+        cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+        img = jnp.asarray(small_image)
+        kpA, dA = jax.jit(lambda im, c=cfgA: detect_and_compute(im, c))(img)
+        kpB, dB = jax.jit(lambda im, c=cfgB: detect_and_compute(im, c))(img)
+        assert int(kpA.count) == int(kpB.count), kw
+        v = np.asarray(kpA.valid)
+        np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
+                                   atol=1e-5, err_msg=str(kw))
