@@ -48,5 +48,21 @@ def match(desc1: jnp.ndarray, valid1: jnp.ndarray,
 
 
 def match_keypoints(kp1: Keypoints, desc1: jnp.ndarray,
-                    kp2: Keypoints, desc2: jnp.ndarray) -> Matches:
-    return match(desc1, kp1.valid, desc2, kp2.valid, kp2.x, kp2.y)
+                    kp2: Keypoints, desc2: jnp.ndarray,
+                    cross_check: bool = False) -> Matches:
+    """One-directional set1 -> set2 matching (the reference semantics).
+
+    With `cross_check`, matches that are not mutual nearest neighbours
+    are marked invalid (the symmetric filter the reference leaves to
+    its caller) — one extra masked-argmax over the same score matrix.
+    """
+    m = match(desc1, kp1.valid, desc2, kp2.valid, kp2.x, kp2.y)
+    if not cross_check:
+        return m
+    neg = jnp.float32(-1e30)
+    scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGH)
+    scores = jnp.where(kp1.valid[:, None], scores, neg)
+    back = jnp.argmax(scores, axis=0).astype(jnp.int32)   # (N2,)
+    mutual = back[m.index] == jnp.arange(m.index.shape[0], dtype=jnp.int32)
+    return m._replace(valid=m.valid & mutual)

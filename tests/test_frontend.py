@@ -109,3 +109,32 @@ def test_match_ignores_invalid_columns(rng):
     m = match(jnp.asarray(d1), jnp.ones(4, bool), jnp.asarray(d2),
               jnp.asarray(v2), jnp.zeros(6), jnp.zeros(6))
     assert (np.asarray(m.index) >= 2).all()
+
+
+def test_match_cross_check():
+    import jax.numpy as jnp
+    from cuda_surf_tpu.types import Keypoints
+    from cuda_surf_tpu.ops.matcher import match_keypoints
+
+    lrng = np.random.default_rng(5)
+    d1 = lrng.normal(size=(32, 64)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    # set2 = permuted copies of set1 plus distractors similar to d1[0]
+    perm = lrng.permutation(32)            # d2[j] == d1[perm[j]]
+    d2 = np.concatenate([d1[perm], (d1[0] + 0.05 * lrng.normal(size=(4, 64))
+                                    ).astype(np.float32)])
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    true_match = np.argsort(perm)          # set1 i -> set2 index
+
+    kp1 = Keypoints.empty(32)
+    kp1.valid = jnp.ones(32, bool)
+    kp2 = Keypoints.empty(36)
+    kp2.valid = jnp.ones(36, bool)
+    m = match_keypoints(kp1, jnp.asarray(d1), kp2, jnp.asarray(d2))
+    mc = match_keypoints(kp1, jnp.asarray(d1), kp2, jnp.asarray(d2),
+                         cross_check=True)
+    assert np.asarray(mc.valid).sum() <= np.asarray(m.valid).sum()
+    ok = np.asarray(mc.valid)
+    assert ok.sum() >= 28
+    # every surviving cross-checked match is the true permutation pair
+    assert (np.asarray(mc.index)[ok] == true_match[ok]).all()
