@@ -97,3 +97,48 @@ def run_sequence(pipe: SlamPipeline, frames, gt: np.ndarray | None = None,
     if gt is not None:
         ate = ate_rmse(traj, np.asarray(gt), with_scale=True)
     return SequenceResult(trajectory=traj, gt=gt, ate=ate, inliers=inl)
+
+
+def load_image_dir(path: str, pattern: str = "*") -> list:
+    """Sorted image paths from a directory (PGM/PPM/PNG), for streaming
+    through run_sequence / the native FrameLoader."""
+    import glob
+    import os
+    exts = (".pgm", ".ppm", ".png")
+    files = sorted(p for p in glob.glob(os.path.join(path, pattern))
+                   if os.path.splitext(p)[1].lower() in exts)
+    if not files:
+        raise FileNotFoundError(f"no images under {path!r}")
+    return files
+
+
+def load_tum_trajectory(path: str) -> tuple:
+    """Parse a TUM-format trajectory file (lines of `timestamp tx ty tz
+    qx qy qz qw`, '#' comments) -> (timestamps (N,), centres (N, 3),
+    quaternions (N, 4) in xyzw order) — the ground-truth format of the
+    TUM RGB-D benchmark, consumed by evaluate.ate_rmse."""
+    ts, cs, qs = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(v) for v in line.replace(",", " ").split()]
+            if len(vals) < 8:
+                continue
+            ts.append(vals[0])
+            cs.append(vals[1:4])
+            qs.append(vals[4:8])
+    return (np.asarray(ts), np.asarray(cs), np.asarray(qs))
+
+
+def associate_timestamps(t_a, t_b, max_dt: float = 0.02):
+    """Nearest-neighbour association of two timestamp lists (the TUM
+    benchmark's associate step): returns index pairs (i, j)."""
+    t_a = np.asarray(t_a)
+    t_b = np.asarray(t_b)
+    j = np.searchsorted(t_b, t_a)
+    j = np.clip(j, 1, len(t_b) - 1)
+    j = np.where(np.abs(t_b[j] - t_a) < np.abs(t_b[j - 1] - t_a), j, j - 1)
+    ok = np.abs(t_b[j] - t_a) <= max_dt
+    return np.stack([np.nonzero(ok)[0], j[ok]], axis=1)

@@ -100,3 +100,29 @@ def test_loop_closure_detection_and_posegraph(plane_seq):
     ate_after = ate_rmse(pipe.trajectory(), centres)
     # optimization must not blow up the trajectory
     assert ate_after < max(2.0 * res.ate, 0.1)
+
+
+def test_tum_loaders(tmp_path):
+    import numpy as np
+    from cuda_surf_tpu.io import write_pgm
+    from cuda_surf_tpu.slam.sequence import (load_image_dir,
+                                             load_tum_trajectory,
+                                             associate_timestamps)
+
+    for i in range(3):
+        write_pgm(str(tmp_path / f"f{i:03d}.pgm"),
+                  np.zeros((8, 8), np.uint8))
+    paths = load_image_dir(str(tmp_path))
+    assert len(paths) == 3 and paths == sorted(paths)
+
+    gt = tmp_path / "groundtruth.txt"
+    gt.write_text("# ts tx ty tz qx qy qz qw\n"
+                  "1.00 0 0 0 0 0 0 1\n"
+                  "1.05 0.1 0 0 0 0 0 1\n"
+                  "1.10 0.2 0 0 0 0 0 1\n")
+    ts, cs, qs = load_tum_trajectory(str(gt))
+    assert ts.shape == (3,) and cs.shape == (3, 3) and qs.shape == (3, 4)
+    np.testing.assert_allclose(cs[2], [0.2, 0, 0])
+
+    pairs = associate_timestamps([1.0, 1.06, 1.2], ts, max_dt=0.02)
+    assert (pairs == np.array([[0, 0], [1, 1]])).all()
