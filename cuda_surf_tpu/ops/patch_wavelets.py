@@ -102,110 +102,69 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
     return specs
 
 
-def _sample_wavelets(patch, slot, scalars, *, R, RH, E_rp, E_cp, RC, CC):
-    """dy/dx for the (2R+1)^2 sample grid of one keypoint, as two
-    (RH, 128) int-valued f32 grids (rows = sample i, lanes = sample j,
-    valid region [0:2R+1, 0:2R+1]).
+def _dot_limbs(xi, w, limbs, left=False):
+    """Exact int32 (xi:int32) @ (w:+/-1 int) — or w @ xi when `left`.
 
-    Tiled G = Rw @ rel @ C evaluation; see module docstring.  The padded
-    scratch tail holds garbage that only ever feeds samples outside the
-    image — masked by callers.
-    """
+    xi is decomposed into balanced base-256 digits (each in
+    [-128, 127], exact in int8) and contracted with the int8 MXU at
+    native int32 accumulation — exact for any operand magnitude and
+    2x the bf16 rate."""
+    wb = w.astype(jnp.int8)
+    acc = None
+    t = xi
+    for li in range(limbs):
+        if li == limbs - 1:
+            d = t        # remaining digit fits int8 by the bound
+        else:
+            d = ((t & 255) ^ 128) - 128
+            t = (t - d) >> 8
+        part = d.astype(jnp.int8)
+        ab = (wb, part) if left else (part, wb)
+        dd = lax.dot_general(ab[0], ab[1], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+        acc = dd if acc is None else acc + (dd << (8 * li))
+    return acc
+
+
+def _col_weights(cc, scalars, *, R, CC):
+    """(CC, 128) dy and dx column-combination weights for the static
+    column chunk starting at cc."""
+    iyl, ixl, step, s, irad = scalars
+    R2 = 2 * R + 1
+    ec = cc + lax.broadcasted_iota(jnp.int32, (CC, 128), 0)
+    jc = lax.broadcasted_iota(jnp.int32, (CC, 128), 1)
+    ok_c = (jnp.abs(jc - R) <= irad) & (jc < R2)
+    bc = ixl + (jc - R) * step
+
+    def eqc(t):
+        return (ec == t).astype(jnp.int32)
+
+    c_dy = eqc(bc + s + 1) - eqc(bc - s)
+    c_dx = eqc(bc + s + 1) + eqc(bc - s) - eqc(bc) - eqc(bc + 1)
+    zero = jnp.int32(0)
+    return (jnp.where(ok_c, c_dy, zero),
+            jnp.where(ok_c, c_dx, zero))
+
+
+def _row_weights(cb, scalars, *, R, RH, RC):
+    """(2*RH, RC) row-combination weights for the static row band at cb:
+    rows [0,R2) dy combos, rows [RH,RH+R2) dx combos."""
     iyl, ixl, step, s, irad = scalars
     R2 = 2 * R + 1
     RW = 2 * RH
+    ri = lax.broadcasted_iota(jnp.int32, (RW, RC), 0)
+    e = cb + lax.broadcasted_iota(jnp.int32, (RW, RC), 1)
+    is_dy = ri < RH
+    g = jnp.where(is_dy, ri, ri - RH)
+    ok_r = (jnp.abs(g - R) <= irad) & (g < R2)
+    br = iyl + (g - R) * step
 
-    def dot_limbs(xi, w, limbs, left=False):
-        """Exact int32 (xi:int32) @ (w:+/-1 int) — or w @ xi when `left`.
+    def eq(t):
+        return (e == t).astype(jnp.int32)
 
-        xi is decomposed into balanced base-256 digits (each in
-        [-128, 127], exact in int8) and contracted with the int8 MXU at
-        native int32 accumulation — exact for any operand magnitude and
-        2x the bf16 rate."""
-        wb = w.astype(jnp.int8)
-        acc = None
-        t = xi
-        for li in range(limbs):
-            if li == limbs - 1:
-                d = t        # remaining digit fits int8 by the bound
-            else:
-                d = ((t & 255) ^ 128) - 128
-                t = (t - d) >> 8
-            part = d.astype(jnp.int8)
-            ab = (wb, part) if left else (part, wb)
-            dd = lax.dot_general(ab[0], ab[1], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-            acc = dd if acc is None else acc + (dd << (8 * li))
-        return acc
-
-    # After subtracting both the patch's first column (per row) and first
-    # row (per column) — each cancels exactly through the zero-sum
-    # stencils — `rel` entries are rectangle sums anchored at the patch
-    # origin: <= 255 * E_r * E_c, and |A| <= 2 * max|rel|.  Limb counts
-    # follow those static bounds (top limb stays <= 2^8, bf16-exact).
-    rel_bits = (255 * E_rp * E_cp).bit_length()
-    m1_limbs = -(-rel_bits // 8)
-    m2_limbs = -(-(rel_bits + 1) // 8)
-
-    def col_weights(ci):
-        """(CC, 128) dy and dx column-combination weights for chunk ci."""
-        cc = pl.multiple_of(ci * CC, 128)
-        ec = cc + lax.broadcasted_iota(jnp.int32, (CC, 128), 0)
-        jc = lax.broadcasted_iota(jnp.int32, (CC, 128), 1)
-        ok_c = (jnp.abs(jc - R) <= irad) & (jc < R2)
-        bc = ixl + (jc - R) * step
-
-        def eqc(t):
-            return (ec == t).astype(jnp.int32)
-
-        c_dy = eqc(bc + s + 1) - eqc(bc - s)
-        c_dx = eqc(bc + s + 1) + eqc(bc - s) - eqc(bc) - eqc(bc + 1)
-        zero = jnp.int32(0)
-        return (jnp.where(ok_c, c_dy, zero),
-                jnp.where(ok_c, c_dx, zero))
-
-    def row_weights(bi):
-        """(RW, RC) row-combination weights for row chunk bi:
-        rows [0,R2) dy combos, rows [RH,RH+R2) dx combos."""
-        cb = pl.multiple_of(bi * RC, 8)
-        ri = lax.broadcasted_iota(jnp.int32, (RW, RC), 0)
-        e = cb + lax.broadcasted_iota(jnp.int32, (RW, RC), 1)
-        is_dy = ri < RH
-        g = jnp.where(is_dy, ri, ri - RH)
-        ok_r = (jnp.abs(g - R) <= irad) & (g < R2)
-        br = iyl + (g - R) * step
-
-        def eq(t):
-            return (e == t).astype(jnp.int32)
-
-        w_dy = eq(br) + eq(br + 1) - eq(br - s) - eq(br + s + 1)
-        w_dx = eq(br + s + 1) - eq(br - s)
-        return jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0)
-
-    def cc_body(ci, G):
-        cdy, cdx = col_weights(ci)
-        cc = pl.multiple_of(ci * CC, 128)
-
-        p_row = patch[slot, 0:1, pl.ds(cc, CC)]     # first patch row
-        p_corner = patch[slot, 0:1, 0:1]
-
-        def cb_body(bi, A):
-            cb = pl.multiple_of(bi * RC, 8)
-            Rw = row_weights(bi)
-            pc = patch[slot, pl.ds(cb, RC), pl.ds(cc, CC)]
-            pb = patch[slot, pl.ds(cb, RC), 0:1]
-            rel = (pc - pb) - (p_row - p_corner)
-            return A + dot_limbs(rel, Rw, m1_limbs, left=True)
-
-        A = lax.fori_loop(0, E_rp // RC, cb_body,
-                          jnp.zeros((RW, CC), jnp.int32))
-        g_dy = dot_limbs(A[:RH], cdy, m2_limbs)
-        g_dx = dot_limbs(A[RH:], cdx, m2_limbs)
-        return G + jnp.concatenate([g_dy, g_dx], axis=0)
-
-    G = lax.fori_loop(0, E_cp // CC, cc_body,
-                      jnp.zeros((RW, 128), jnp.int32))
-    return G[:RH].astype(jnp.float32), G[RH:].astype(jnp.float32)
+    w_dy = eq(br) + eq(br + 1) - eq(br - s) - eq(br + s + 1)
+    w_dx = eq(br + s + 1) - eq(br - s)
+    return jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0)
 
 
 def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
@@ -345,8 +304,9 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
     return desc[0]
 
 
-def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, sem,
-            *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NBUF, RH, mode, cfg_s):
+def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, row0,
+            acc, sem, *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NB, NBUF,
+            RH, mode, cfg_s):
     """One grid step processes up to CH keypoints.
 
     meta is (8, cap) int32 — rows [r0, c0, iyl, ixl, step, s, irad, _];
@@ -355,42 +315,83 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, sem,
     128-aligned capacity.  Output block: mode "grids" (CH, 2*RH, 128)
     with dy at [0:R2, 0:R2] and dx at [RH:RH+R2, 0:R2]; mode "desc"
     (CH, 128) descriptor rows.
+
+    The patch is streamed in NB row bands of RC rows so even whole-image
+    buckets (doubled mode) stay within VMEM: each band contributes its
+    row-combination partial A_band = Rw_band @ rel_band into the `acc`
+    scratch (the (2*RH, E_cp) row-combined matrix), and the column
+    combinations run once from `acc` after the last band.  Band DMAs are
+    double-buffered against compute across keypoints and bands.
     """
     gid = pl.program_id(0)
     count = count_ref[0]
     base = gid * CH
+    RW = 2 * RH
 
-    def dma(k, slot):
-        r0 = pl.multiple_of(meta_ref[0, k], 8)
+    # `rel` entries are rectangle sums anchored at the patch origin
+    # (first row and column subtracted — both cancel exactly through the
+    # zero-sum stencils): <= 255 * E_rp * E_cp, and |A| <= 2 * max|rel|.
+    # Limb counts follow those static bounds (top limb stays <= 2^7).
+    rel_bits = (255 * E_rp * E_cp).bit_length()
+    m1_limbs = -(-rel_bits // 8)
+    m2_limbs = -(-(rel_bits + 1) // 8)
+
+    def dma(k, b, slot):
+        rows = min(RC, E_r - b * RC)   # b is static; last band is partial
+        r0 = pl.multiple_of(meta_ref[0, k], 8) + b * RC
         c0 = pl.multiple_of(meta_ref[1, k], 128)
         return pltpu.make_async_copy(
-            ii_ref.at[pl.ds(r0, E_r), pl.ds(c0, E_c)],
-            patch.at[slot, pl.ds(0, E_r), pl.ds(0, E_c)], sem.at[slot])
+            ii_ref.at[pl.ds(r0, rows), pl.ds(c0, E_c)],
+            patch.at[slot, pl.ds(0, rows), pl.ds(0, E_c)], sem.at[slot])
 
-    if NBUF > 1:
-        @pl.when((gid == 0) & (count > 0))
-        def _():
-            dma(0, 0).start()
+    @pl.when((gid == 0) & (count > 0))
+    def _():
+        dma(0, 0, 0).start()
 
     n_here = jnp.clip(count - base, 0, CH)
 
     def body(j, carry):
         k = base + j
-        slot = lax.rem(k, NBUF)
-        if NBUF > 1:
-            # keep NBUF-1 patch DMAs in flight ahead of compute
-            @pl.when(k + 1 < count)
-            def _():
-                dma(k + 1, lax.rem(k + 1, NBUF)).start()
-        else:
-            dma(k, 0).start()
-        dma(k, slot).wait()
-
+        q0 = k * NB
         iscalars = (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
                     meta_ref[5, k], meta_ref[6, k])
-        dyv, dxv = _sample_wavelets(
-            patch, slot, iscalars, R=R, RH=RH, E_rp=E_rp, E_cp=E_cp,
-            RC=RC, CC=CC)
+
+        for b in range(NB):
+            slot = lax.rem(q0 + b, NBUF)
+            nxt = lax.rem(q0 + b + 1, NBUF)
+            if b < NB - 1:
+                dma(k, b + 1, nxt).start()
+            else:
+                # last band: prefetch the next keypoint's first band
+                @pl.when(k + 1 < count)
+                def _():
+                    dma(k + 1, 0, nxt).start()
+            dma(k, b, slot).wait()
+            if b == 0:
+                row0[0:1] = patch[slot, 0:1]
+            Rw = _row_weights(b * RC, iscalars, R=R, RH=RH, RC=RC)
+            for ci in range(E_cp // CC):
+                cc = ci * CC
+                pc = patch[slot, :, cc:cc + CC]
+                pb = patch[slot, :, 0:1]
+                rel = (pc - pb) - (row0[0:1, cc:cc + CC] - row0[0:1, 0:1])
+                contrib = _dot_limbs(rel, Rw, m1_limbs, left=True)
+                if b == 0:
+                    acc[:, cc:cc + CC] = contrib
+                else:
+                    acc[:, cc:cc + CC] = acc[:, cc:cc + CC] + contrib
+
+        G = jnp.zeros((RW, 128), jnp.int32)
+        for ci in range(E_cp // CC):
+            cc = ci * CC
+            cdy, cdx = _col_weights(cc, iscalars, R=R, CC=CC)
+            A = acc[:, cc:cc + CC]
+            g_dy = _dot_limbs(A[:RH], cdy, m2_limbs)
+            g_dx = _dot_limbs(A[RH:], cdx, m2_limbs)
+            G = G + jnp.concatenate([g_dy, g_dx], axis=0)
+        dyv = G[:RH].astype(jnp.float32)
+        dxv = G[RH:].astype(jnp.float32)
+
         if mode == "grids":
             out_ref[j] = jnp.concatenate([dyv, dxv], axis=0)
         else:
@@ -421,12 +422,15 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
     RH = _round_up(R2, 8)
     RC, CC = min(E_r, 256), min(E_c, 512)
     E_rp, E_cp = _round_up(E_r, RC), _round_up(E_c, CC)
+    NB = E_rp // RC
     CH = 32 if E_r * E_c <= 512 * 512 else 8
     cap = _round_up(cap, CH)
-    NBUF = 4 if E_rp * E_cp * 4 * 4 <= 6 * 1024 * 1024 else (2 if E_rp * E_cp * 4 * 2 <= 6 * 1024 * 1024 else 1)
+    band_bytes = RC * E_cp * 4
+    NBUF = 4 if 4 * band_bytes <= 6 * 1024 * 1024 else 2
     kernel = functools.partial(
         _kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
-        RC=RC, CC=CC, CH=CH, NBUF=NBUF, RH=RH, mode=mode, cfg_s=cfg_s)
+        RC=RC, CC=CC, CH=CH, NB=NB, NBUF=NBUF, RH=RH, mode=mode,
+        cfg_s=cfg_s)
     if mode == "grids":
         out_block, out_shape = (CH, 2 * RH, 128), (cap, 2 * RH, 128)
         out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0, 0),
@@ -441,11 +445,14 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, E_rp, E_cp), jnp.int32),
+            pltpu.VMEM((NBUF, RC, E_cp), jnp.int32),
+            pltpu.VMEM((8, E_cp), jnp.int32),
+            pltpu.VMEM((2 * RH, E_cp), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    vmem_limit = min(NBUF * E_rp * E_cp * 4 + 8 * 2 ** 20, 18 * 2 ** 20)
+    vmem_limit = min(NBUF * band_bytes + (2 * RH + 8) * E_cp * 4
+                     + 8 * 2 ** 20, 15 * 2 ** 20)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -481,19 +488,35 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         key += (span > lim).astype(jnp.int32)
     key = jnp.where(valid, key, nb)
 
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    order_pad = jnp.concatenate([order, jnp.zeros((max_cap,), jnp.int32)])
-    cnts = jnp.stack([jnp.sum(key == b).astype(jnp.int32)
-                      for b in range(nb)])
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(cnts)[:-1]])
+    # sort-free bucket placement: each keypoint's destination row is its
+    # bucket's start plus its rank within the bucket (prefix sums), and
+    # the per-bucket selections come from one scatter of the identity —
+    # cheaper than argsort and exactly stable
+    dest = jnp.zeros((K,), jnp.int32)
+    cnts_list = []
+    start = jnp.int32(0)
+    starts_list = []
+    for b in range(nb):
+        m = key == b
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        dest = jnp.where(m, start + rank, dest)
+        starts_list.append(start)
+        cnt = jnp.sum(m).astype(jnp.int32)
+        cnts_list.append(cnt)
+        start = start + cnt
+    m = key == nb
+    dest = jnp.where(m, start + jnp.cumsum(m.astype(jnp.int32)) - 1, dest)
+    cnts = jnp.stack(cnts_list)
+    starts = jnp.stack(starts_list)
+    sel_all = jnp.zeros((K + max_cap,), jnp.int32).at[dest].set(
+        jnp.arange(K, dtype=jnp.int32))
 
     row_shape = (2 * RH, 128) if mode == "grids" else (128,)
     sorted_out = jnp.zeros((K + max_cap,) + row_shape, jnp.float32)
 
     for b, (lim, E_r, E_c) in enumerate(specs):
         cap = caps[b]
-        sel = lax.dynamic_slice(order_pad, (starts[b],), (cap,))
+        sel = lax.dynamic_slice(sel_all, (starts[b],), (cap,))
         byi = jnp.take(iy, sel)
         bxi = jnp.take(ix, sel)
         # Centre the patch on the keypoint with the tile-alignment bias
@@ -514,9 +537,7 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         sorted_out = lax.dynamic_update_slice(
             sorted_out, out[:cap], (starts[b],) + (0,) * len(row_shape))
 
-    inv = jnp.zeros((K,), jnp.int32).at[order].set(
-        jnp.arange(K, dtype=jnp.int32))
-    return jnp.take(sorted_out, inv, axis=0)
+    return jnp.take(sorted_out, dest, axis=0)
 
 
 def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
