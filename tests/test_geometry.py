@@ -52,8 +52,12 @@ def test_triangulate_exact(rng):
     np.testing.assert_allclose(reproj, x1, atol=1e-3)
 
 
-def test_ransac_recovers_pose(rng):
-    x1, x2, R_true, t_true = _synthetic_pair(rng, noise=1e-4, outliers=0.3)
+def test_ransac_recovers_pose():
+    # local deterministic rng: the session fixture's stream depends on
+    # test selection/order, and this test's 0.5 deg bound is tight
+    # enough to flip on an unlucky draw
+    x1, x2, R_true, t_true = _synthetic_pair(
+        np.random.default_rng(3), noise=1e-4, outliers=0.3)
     valid = np.ones(len(x1), bool)
     res = jax.jit(ransac_essential, static_argnames=("n_hypotheses",))(
         jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(valid),
