@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .core import BAProblem, BAState, cost, _schur_system, exp_so3
 from ..utils.precision import f32_matmuls
@@ -70,7 +70,7 @@ def make_distributed_lm(mesh: Mesh, n_cameras: int, n_iters: int = 10,
         in_specs=((pspec_rep, pspec_rep), pspec_pt,
                   BAProblem(pspec_pt, pspec_pt, pspec_pt), pspec_rep),
         out_specs=((pspec_rep, pspec_rep), pspec_pt, pspec_rep),
-        check_rep=False)
+        check_vma=False)
 
     def local_cost(state_rep, points, prob):
         state = BAState(state_rep[0], state_rep[1], points)
@@ -80,7 +80,7 @@ def make_distributed_lm(mesh: Mesh, n_cameras: int, n_iters: int = 10,
         local_cost, mesh=mesh,
         in_specs=((pspec_rep, pspec_rep), pspec_pt,
                   BAProblem(pspec_pt, pspec_pt, pspec_pt)),
-        out_specs=pspec_rep, check_rep=False)
+        out_specs=pspec_rep, check_vma=False)
 
     @jax.jit
     @f32_matmuls

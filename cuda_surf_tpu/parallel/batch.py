@@ -31,7 +31,7 @@ class BatchSurf:
         self.cfg = cfg if cfg is not None else SurfConfig(**kw)
         self.mesh = mesh if mesh is not None else make_mesh()
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         axis = self.mesh.axis_names[0]
 
@@ -45,7 +45,7 @@ class BatchSurf:
 
         self._detect = jax.jit(shard_map(
             _local, mesh=self.mesh, in_specs=P(axis),
-            out_specs=P(axis), check_rep=False))
+            out_specs=P(axis), check_vma=False))
 
         @jax.jit
         def _match(kp1, d1, kp2, d2):
