@@ -491,20 +491,26 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     # sort-free bucket placement: each keypoint's destination row is its
     # bucket's start plus its rank within the bucket (prefix sums), and
     # the per-bucket selections come from one scatter of the identity —
-    # cheaper than argsort and exactly stable
+    # cheaper than argsort and exactly stable.  A bucket's patch covers
+    # every smaller span, so keypoints beyond a bucket's static capacity
+    # cascade into the next bucket instead of being silently dropped
+    # (caps are soft limits; only exhausting ALL buckets drops).
     dest = jnp.zeros((K,), jnp.int32)
+    unplaced = valid
     cnts_list = []
     start = jnp.int32(0)
     starts_list = []
     for b in range(nb):
-        m = key == b
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        dest = jnp.where(m, start + rank, dest)
+        elig = unplaced & (key <= b)
+        rank = jnp.cumsum(elig.astype(jnp.int32)) - 1
+        take = elig & (rank < caps[b])
+        dest = jnp.where(take, start + rank, dest)
         starts_list.append(start)
-        cnt = jnp.sum(m).astype(jnp.int32)
+        cnt = jnp.sum(take).astype(jnp.int32)
         cnts_list.append(cnt)
         start = start + cnt
-    m = key == nb
+        unplaced &= ~take
+    m = unplaced | ~valid
     dest = jnp.where(m, start + jnp.cumsum(m.astype(jnp.int32)) - 1, dest)
     cnts = jnp.stack(cnts_list)
     starts = jnp.stack(starts_list)

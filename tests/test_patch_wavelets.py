@@ -71,6 +71,38 @@ def test_wavelet_grids_match_box_sums(rng):
     assert np.all(dyg[-1] == 0) and np.all(dxg[-1] == 0)
 
 
+def test_bucket_overflow_cascades(rng):
+    """Keypoints beyond a bucket's capacity spill into the next bucket
+    (whose larger patch covers any smaller span) instead of dropping."""
+    img = rng.integers(0, 256, (200, 320), np.uint8)
+    iij = jnp.asarray(_integral(img).astype(np.int32))
+
+    K, R = 24, 8
+    ix = rng.integers(70, 250, K).astype(np.int32)
+    iy = rng.integers(70, 130, K).astype(np.int32)
+    step = rng.integers(1, 3, K).astype(np.int32)
+    iscale = (2 * step + rng.integers(0, 3, K)).astype(np.int32)
+    irad = rng.integers(4, R + 1, K).astype(np.int32)
+    # one large-span keypoint forces a second bucket to exist
+    step[22], irad[22], iscale[22] = 5, 8, 20
+    valid = np.ones(K, bool)
+    valid[23] = False
+    max_span = int((irad * step + iscale + 1).max())
+
+    def run(caps):
+        dy, dx = jax.jit(lambda *a: wavelet_grids(
+            *a, R=R, max_span=max_span, caps=caps, interpret=True))(
+            iij, jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(step),
+            jnp.asarray(iscale), jnp.asarray(irad), jnp.asarray(valid))
+        return np.asarray(dy), np.asarray(dx)
+
+    dy_full, dx_full = run(None)               # ample capacity
+    dy_ovf, dx_ovf = run([16, 16])             # bucket 0 overflows
+    assert np.any(dy_full != 0)
+    np.testing.assert_array_equal(dy_ovf, dy_full)
+    np.testing.assert_array_equal(dx_ovf, dx_full)
+
+
 def test_bucket_specs_cover_span():
     specs = bucket_specs(968, 1408, 511)
     assert specs[-1][0] >= 511
