@@ -546,6 +546,166 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     return jnp.take(sorted_out, dest, axis=0)
 
 
+# --- shared-tile descriptor path ------------------------------------------
+#
+# Per-keypoint patch DMAs dominate the describe stage: ~1-2us of DMA
+# latency per keypoint that double-buffering only partly hides.  Most
+# keypoints (all of octave 0/1 in the default config) have small sample
+# footprints, so instead of one patch per keypoint the image is covered
+# by a static grid of (TE_R, TE_C) tiles with 64-pixel margins; one tile
+# DMA serves every keypoint whose footprint fits a (128, 256) window of
+# the resident tile (a dynamic, tile-aligned VMEM slice).  Keypoints
+# whose span exceeds _TILE_SPAN_CAP fall back to the span-bucketed
+# per-keypoint kernel above.
+
+_TILE_SPAN_CAP = 52     # max half-extent coverable by a (128, 256) window
+TE_R, TE_C = 256, 512   # tile extent (rows, cols)
+TI_R, TI_C = TE_R - 128, TE_C - 128   # interior (ownership) extent
+
+
+def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
+                  patch, sem, *, R, RH, T, TX, h_pad, w_pad, cfg_s):
+    """Grid step = one tile: DMA the tile once (double-buffered across
+    steps), then loop this tile's keypoints, each computing from a
+    dynamic (128, 256) window of the resident tile.  The out block is a
+    single (K_pad, 128) VMEM buffer shared by all steps."""
+    t = pl.program_id(0)
+    WR, WC = 128, 256
+    RW = 2 * RH
+
+    def origin(tt):
+        ty = tt // TX
+        tx = lax.rem(tt, TX)
+        r0 = jnp.clip(ty * TI_R, 0, h_pad - TE_R)
+        c0 = jnp.clip(tx * TI_C, 0, w_pad - TE_C)
+        return pl.multiple_of(r0, 8), pl.multiple_of(c0, 128)
+
+    def dma(tt, slot):
+        r0, c0 = origin(tt)
+        return pltpu.make_async_copy(
+            ii_ref.at[pl.ds(r0, TE_R), pl.ds(c0, TE_C)],
+            patch.at[slot], sem.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < T)
+    def _():
+        dma(t + 1, lax.rem(t + 1, 2)).start()
+    slot = lax.rem(t, 2)
+    dma(t, slot).wait()
+
+    r0_t, c0_t = origin(t)
+    n_t = cnt_ref[t]
+    s_t = start_ref[t]
+
+    rel_bits = (255 * WR * WC).bit_length()
+    m1 = -(-rel_bits // 8)
+    m2 = -(-(rel_bits + 1) // 8)
+
+    def body(j, carry):
+        k = s_t + j
+        rs = pl.multiple_of(meta_ref[0, k], 8)
+        cs = pl.multiple_of(meta_ref[1, k], 128)
+        iscalars = (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
+                    meta_ref[5, k], meta_ref[6, k])
+        pc = patch[slot, pl.ds(rs, WR), pl.ds(cs, WC)]
+        # anchor at the window origin (any anchor cancels through the
+        # zero-sum stencils); rel <= 255 * WR * WC
+        rel = (pc - pc[:, 0:1]) - (pc[0:1, :] - pc[0:1, 0:1])
+        Rw = _row_weights(0, iscalars, R=R, RH=RH, RC=WR)
+        A = _dot_limbs(rel, Rw, m1, left=True)
+        cdy, cdx = _col_weights(0, iscalars, R=R, CC=WC)
+        dyv = _dot_limbs(A[:RH], cdy, m2).astype(jnp.float32)
+        dxv = _dot_limbs(A[RH:], cdx, m2).astype(jnp.float32)
+        gscalars = (r0_t + rs + meta_ref[2, k], c0_t + cs + meta_ref[3, k],
+                    meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
+        fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
+                    fpar_ref[3, k], fpar_ref[4, k])
+        out_ref[k] = _bin_descriptor(
+            dyv, dxv, gscalars, fscalars, R=R, RH=RH, cfg_s=cfg_s)
+        return carry
+
+    lax.fori_loop(0, n_t, body, 0)
+
+
+def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
+                   R, cfg_s, interpret=False):
+    """Shared-tile descriptor rows for `elig` keypoints (others zero)."""
+    K = ix.shape[0]
+    RH = _round_up(2 * R + 1, 8)
+    h, w = ii.shape
+    h_pad = max(_round_up(h, 8), TE_R)
+    w_pad = max(_round_up(w, 128), TE_C)
+    ii_pad = jnp.pad(ii, ((0, h_pad - h), (0, w_pad - w)))
+    TY = max(1, -(-(h_pad - 128) // TI_R))
+    TX = max(1, -(-(w_pad - 128) // TI_C))
+    T = TY * TX
+
+    ty = jnp.clip((iy - 64) // TI_R, 0, TY - 1)
+    tx = jnp.clip((ix - 64) // TI_C, 0, TX - 1)
+    tid = ty * TX + tx
+
+    # stable per-tile placement (prefix-sum ranks; see _run_bucketed)
+    dest = jnp.zeros((K,), jnp.int32)
+    start = jnp.int32(0)
+    cnts_list, starts_list = [], []
+    for t in range(T):
+        m = elig & (tid == t)
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        dest = jnp.where(m, start + rank, dest)
+        starts_list.append(start)
+        cnt = jnp.sum(m).astype(jnp.int32)
+        cnts_list.append(cnt)
+        start = start + cnt
+    m = ~elig
+    dest = jnp.where(m, start + jnp.cumsum(m.astype(jnp.int32)) - 1, dest)
+    cnts = jnp.stack(cnts_list)
+    starts = jnp.stack(starts_list)
+    sel = jnp.zeros((K,), jnp.int32).at[dest].set(
+        jnp.arange(K, dtype=jnp.int32))
+
+    # tile-local window geometry (same centering/alignment math as the
+    # bucketed path, relative to the owning tile)
+    r0 = jnp.clip(ty * TI_R, 0, h_pad - TE_R)
+    c0 = jnp.clip(tx * TI_C, 0, w_pad - TE_C)
+    iyl_t = iy - r0
+    ixl_t = ix - c0
+    rs = (jnp.clip(iyl_t - 60, 0, TE_R - 128) // 8) * 8
+    cs = (jnp.clip(ixl_t - 64, 0, TE_C - 256) // 128) * 128
+    meta = jnp.stack([rs, cs, iyl_t - rs, ixl_t - cs, step, iscale, irad,
+                      jnp.zeros((K,), jnp.int32)], axis=0)
+    meta = jnp.take(meta, sel, axis=1)
+    fpar = jnp.take(fparams, sel, axis=1)
+
+    K_pad = _round_up(K, 8)
+    kernel = functools.partial(_kernel_tiles, R=R, RH=RH, T=T, TX=TX,
+                               h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((K_pad, 128), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, TE_R, TE_C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K_pad, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * TE_R * TE_C * 4 + K_pad * 512
+            + 8 * 2 ** 20),
+        interpret=interpret,
+    )(cnts, starts, meta, fpar, ii_pad)
+    return jnp.take(out, dest, axis=0)
+
+
 def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
                   caps=None, interpret=False):
     """Haar dy/dx on each keypoint's (2R+1)^2 sample grid.
@@ -573,7 +733,20 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     """Full in-kernel SURF descriptors: (K, 128) unnormalized rows
     (features in lanes [0, wsz*wsz*osz)).  fparams is (8, K) float32
     rows [fracr, fracc, spacing, sine, cose]; cfg_s is the static
-    tuple (wsz, osz, upright, extended, ih, iw)."""
-    return _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams,
-                         R=R, max_span=max_span, mode="desc", cfg_s=cfg_s,
-                         caps=caps, interpret=interpret)
+    tuple (wsz, osz, upright, extended, ih, iw).
+
+    Small-footprint keypoints (span <= _TILE_SPAN_CAP — all of octaves
+    0-1 in the default config) run through the shared-tile kernel (one
+    tile DMA serves ~100 keypoints); the rest through the span-bucketed
+    per-keypoint kernel.  The two return rows on complementary masks."""
+    span = irad * step + iscale + 1
+    small = valid & (span <= _TILE_SPAN_CAP)
+    rows = _run_supertile(ii, ix, iy, step, iscale, irad, small, fparams,
+                          R=R, cfg_s=cfg_s, interpret=interpret)
+    if max_span > _TILE_SPAN_CAP:
+        big = valid & (span > _TILE_SPAN_CAP)
+        rows = rows + _run_bucketed(
+            ii, ix, iy, step, iscale, irad, big, fparams, R=R,
+            max_span=max_span, mode="desc", cfg_s=cfg_s, caps=caps,
+            interpret=interpret)
+    return rows
