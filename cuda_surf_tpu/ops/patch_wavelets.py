@@ -563,15 +563,28 @@ TE_R, TE_C = 256, 512   # tile extent (rows, cols)
 TI_R, TI_C = TE_R - 128, TE_C - 128   # interior (ownership) extent
 
 
+_TILE_GROUP = 8         # keypoints per stacked stage-A matmul
+
+
 def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
-                  patch, sem, *, R, RH, T, TX, h_pad, w_pad, cfg_s):
+                  patch, rel_limb, rw, acc, sem, *, R, RH, T, TX, h_pad,
+                  w_pad, cfg_s):
     """Grid step = one tile: DMA the tile once (double-buffered across
-    steps), then loop this tile's keypoints, each computing from a
-    dynamic (128, 256) window of the resident tile.  The out block is a
-    single (K_pad, 128) VMEM buffer shared by all steps."""
+    steps), extract the tile's anchored-rel int8 limbs once, then
+    process the tile's keypoints in groups of G: each group's
+    row-combination matrices are stacked into one (G*2RH, TE_R) int8
+    block and contracted against the tile limbs in a single MXU pass
+    per limb — breaking the per-keypoint dependent-matmul chains of the
+    bucketed kernel.  The per-keypoint column combination + binning run
+    from a dynamic (2RH, 256) window of the group accumulator.  The out
+    block is a single (K_pad, 128) VMEM buffer shared by all steps.
+
+    meta rows: [_, cs, iyl_t, ixl_t, step, s, irad, _] with iyl_t/ixl_t
+    tile-local and cs the 128-aligned column-window start."""
     t = pl.program_id(0)
-    WR, WC = 128, 256
+    WC = 256
     RW = 2 * RH
+    G = _TILE_GROUP
 
     def origin(tt):
         ty = tt // TX
@@ -601,34 +614,76 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
     n_t = cnt_ref[t]
     s_t = start_ref[t]
 
-    rel_bits = (255 * WR * WC).bit_length()
-    m1 = -(-rel_bits // 8)
-    m2 = -(-(rel_bits + 1) // 8)
+    # tile-anchored rel <= 255 * TE_R * TE_C (26 bits -> 4 limbs); the
+    # stage-B operand is re-anchored to the keypoint's column window, so
+    # its bound stays the window one: |A[c]-A[cs]| <= 2*255*s*WC < 2^23
+    # (the stencil rows collapse to <= 2(s+1)-row band sums) -> 3 limbs.
+    m1 = -(-(255 * TE_R * TE_C).bit_length() // 8)
+    m2 = -(-((255 * 128 * WC).bit_length() + 1) // 8)
 
-    def body(j, carry):
-        k = s_t + j
-        rs = pl.multiple_of(meta_ref[0, k], 8)
-        cs = pl.multiple_of(meta_ref[1, k], 128)
-        iscalars = (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
-                    meta_ref[5, k], meta_ref[6, k])
-        pc = patch[slot, pl.ds(rs, WR), pl.ds(cs, WC)]
-        # anchor at the window origin (any anchor cancels through the
-        # zero-sum stencils); rel <= 255 * WR * WC
-        rel = (pc - pc[:, 0:1]) - (pc[0:1, :] - pc[0:1, 0:1])
-        Rw = _row_weights(0, iscalars, R=R, RH=RH, RC=WR)
-        A = _dot_limbs(rel, Rw, m1, left=True)
-        cdy, cdx = _col_weights(0, iscalars, R=R, CC=WC)
-        dyv = _dot_limbs(A[:RH], cdy, m2).astype(jnp.float32)
-        dxv = _dot_limbs(A[RH:], cdx, m2).astype(jnp.float32)
-        gscalars = (r0_t + rs + meta_ref[2, k], c0_t + cs + meta_ref[3, k],
-                    meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
-        fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
-                    fpar_ref[3, k], fpar_ref[4, k])
-        out_ref[k] = _bin_descriptor(
-            dyv, dxv, gscalars, fscalars, R=R, RH=RH, cfg_s=cfg_s)
+    @pl.when(n_t > 0)
+    def _():
+        p = patch[slot]
+        rel = (p - p[:, 0:1]) - (p[0:1, :] - p[0:1, 0:1])
+        tt = rel
+        for li in range(m1):
+            if li == m1 - 1:
+                d = tt
+            else:
+                d = ((tt & 255) ^ 128) - 128
+                tt = (tt - d) >> 8
+            rel_limb[li] = d.astype(jnp.int8)
+
+    def iscal(k):
+        return (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
+                meta_ref[5, k], meta_ref[6, k])
+
+    def group_body(gi, carry):
+        g0 = s_t + gi * G
+        n_in = jnp.minimum(n_t - gi * G, G)
+
+        def build(j, c):
+            # row weights target tile rows directly (iyl_t): stencil
+            # rows outside the tile get zero weight, and their samples
+            # are masked by the binning's image-border conditions
+            rw[pl.ds(j * RW, RW)] = _row_weights(
+                0, iscal(g0 + j), R=R, RH=RH, RC=TE_R).astype(jnp.int8)
+            return c
+
+        lax.fori_loop(0, n_in, build, 0)
+
+        w = rw[...]
+        for li in range(m1):
+            dd = lax.dot_general(w, rel_limb[li], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            if li == 0:
+                acc[...] = dd
+            else:
+                acc[...] = acc[...] + (dd << (8 * li))
+
+        def emit(j, c):
+            k = g0 + j
+            cs = pl.multiple_of(meta_ref[1, k], 128)
+            ixl_w = meta_ref[3, k] - cs
+            isc = (meta_ref[2, k], ixl_w, meta_ref[4, k], meta_ref[5, k],
+                   meta_ref[6, k])
+            Aw = acc[pl.ds(j * RW, RW), pl.ds(cs, WC)]
+            Aw = Aw - Aw[:, 0:1]
+            cdy, cdx = _col_weights(0, isc, R=R, CC=WC)
+            dyv = _dot_limbs(Aw[:RH], cdy, m2).astype(jnp.float32)
+            dxv = _dot_limbs(Aw[RH:], cdx, m2).astype(jnp.float32)
+            gscalars = (r0_t + meta_ref[2, k], c0_t + meta_ref[3, k],
+                        meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
+            fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
+                        fpar_ref[3, k], fpar_ref[4, k])
+            out_ref[k] = _bin_descriptor(
+                dyv, dxv, gscalars, fscalars, R=R, RH=RH, cfg_s=cfg_s)
+            return c
+
+        lax.fori_loop(0, n_in, emit, 0)
         return carry
 
-    lax.fori_loop(0, n_t, body, 0)
+    lax.fori_loop(0, (n_t + G - 1) // G, group_body, 0)
 
 
 def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
@@ -673,14 +728,17 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     c0 = jnp.clip(tx * TI_C, 0, w_pad - TE_C)
     iyl_t = iy - r0
     ixl_t = ix - c0
-    rs = (jnp.clip(iyl_t - 60, 0, TE_R - 128) // 8) * 8
     cs = (jnp.clip(ixl_t - 64, 0, TE_C - 256) // 128) * 128
-    meta = jnp.stack([rs, cs, iyl_t - rs, ixl_t - cs, step, iscale, irad,
+    meta = jnp.stack([jnp.zeros((K,), jnp.int32), cs, iyl_t, ixl_t,
+                      step, iscale, irad,
                       jnp.zeros((K,), jnp.int32)], axis=0)
     meta = jnp.take(meta, sel, axis=1)
     fpar = jnp.take(fparams, sel, axis=1)
 
     K_pad = _round_up(K, 8)
+    RW = 2 * RH
+    G = _TILE_GROUP
+    m1 = -(-(255 * TE_R * TE_C).bit_length() // 8)
     kernel = functools.partial(_kernel_tiles, R=R, RH=RH, T=T, TX=TX,
                                h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -690,7 +748,10 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
         out_specs=pl.BlockSpec((K_pad, 128), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TE_R, TE_C), jnp.int32),
+            pltpu.VMEM((2, TE_R, TE_C), jnp.int32),       # tile patches
+            pltpu.VMEM((m1, TE_R, TE_C), jnp.int8),       # rel limbs
+            pltpu.VMEM((G * RW, TE_R), jnp.int8),         # stacked Rw
+            pltpu.VMEM((G * RW, TE_C), jnp.int32),        # group A
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -699,8 +760,8 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K_pad, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * TE_R * TE_C * 4 + K_pad * 512
-            + 8 * 2 ** 20),
+            vmem_limit_bytes=(2 + 1) * TE_R * TE_C * 4
+            + G * RW * (TE_R + 4 * TE_C) + K_pad * 512 + 8 * 2 ** 20),
         interpret=interpret,
     )(cnts, starts, meta, fpar, ii_pad)
     return jnp.take(out, dest, axis=0)
