@@ -558,17 +558,26 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
 # whose span exceeds _TILE_SPAN_CAP fall back to the span-bucketed
 # per-keypoint kernel above.
 
-_TILE_SPAN_CAP = 52     # max half-extent coverable by a (128, 256) window
-TE_R, TE_C = 256, 512   # tile extent (rows, cols)
-TI_R, TI_C = TE_R - 128, TE_C - 128   # interior (ownership) extent
-
+# Two tile levels; keypoints route to the smallest level whose caps
+# cover them, the rest to the bucketed fallback.  A level's row margin
+# MR covers spans <= MR-1 (stage A contracts full tile rows); its
+# column-window half-offset (WC-128)//2 covers the same span; the
+# wavelet half-size cap keeps the stage-B band-sum bound
+# |A[c]-A[cs]| <= 2*255*s*WC under the exact 3-limb budget
+# (127 * 2^16 = 8.32M).
+# A second level ((512, 1024, 512, 128, 127, 31), absorbing octave-1/2
+# keypoints) measured net-negative: its full-tile stage-A contractions
+# cost as much per keypoint as the bucketed fallback it displaced, plus
+# one more path of fixed overhead.
+#          TE_R  TE_C    WC   MR  span_cap  s_cap
+_LEVELS = ((256, 512,   256,  64,   63,      62),)
 
 _TILE_GROUP = 8         # keypoints per stacked stage-A matmul
 
 
 def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
                   patch, rel_limb, rw, acc, sem, *, R, RH, T, TX, h_pad,
-                  w_pad, cfg_s):
+                  w_pad, cfg_s, TE_R, TE_C, WC, TI_R, TI_C):
     """Grid step = one tile: DMA the tile once (double-buffered across
     steps), extract the tile's anchored-rel int8 limbs once, then
     process the tile's keypoints in groups of G: each group's
@@ -582,7 +591,6 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
     meta rows: [_, cs, iyl_t, ixl_t, step, s, irad, _] with iyl_t/ixl_t
     tile-local and cs the 128-aligned column-window start."""
     t = pl.program_id(0)
-    WC = 256
     RW = 2 * RH
     G = _TILE_GROUP
 
@@ -614,12 +622,13 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
     n_t = cnt_ref[t]
     s_t = start_ref[t]
 
-    # tile-anchored rel <= 255 * TE_R * TE_C (26 bits -> 4 limbs); the
-    # stage-B operand is re-anchored to the keypoint's column window, so
-    # its bound stays the window one: |A[c]-A[cs]| <= 2*255*s*WC < 2^23
-    # (the stencil rows collapse to <= 2(s+1)-row band sums) -> 3 limbs.
+    # tile-anchored rel <= 255 * TE_R * TE_C -> m1 limbs; the stage-B
+    # operand is re-anchored to the keypoint's column window, where the
+    # stencil rows collapse to <= (2s+1)-row band sums:
+    # |A[c]-A[cs]| <= 2*255*s*WC, kept under the exact 3-limb budget
+    # (top balanced digit <= 127) by the level's s_cap routing.
     m1 = -(-(255 * TE_R * TE_C).bit_length() // 8)
-    m2 = -(-((255 * 128 * WC).bit_length() + 1) // 8)
+    m2 = 3
 
     @pl.when(n_t > 0)
     def _():
@@ -687,38 +696,42 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
 
 
 def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
-                   R, cfg_s, interpret=False):
+                   R, cfg_s, level=0, interpret=False):
     """Shared-tile descriptor rows for `elig` keypoints (others zero)."""
+    TE_R, TE_C, WC, MR, _, _ = _LEVELS[level]
+    MC = (WC - 128) // 2
+    TI_R, TI_C = TE_R - 2 * MR, TE_C - 2 * MC
     K = ix.shape[0]
     RH = _round_up(2 * R + 1, 8)
     h, w = ii.shape
     h_pad = max(_round_up(h, 8), TE_R)
     w_pad = max(_round_up(w, 128), TE_C)
     ii_pad = jnp.pad(ii, ((0, h_pad - h), (0, w_pad - w)))
-    TY = max(1, -(-(h_pad - 128) // TI_R))
-    TX = max(1, -(-(w_pad - 128) // TI_C))
+    TY = max(1, -(-(h_pad - 2 * MR) // TI_R))
+    TX = max(1, -(-(w_pad - 2 * MC) // TI_C))
     T = TY * TX
 
-    ty = jnp.clip((iy - 64) // TI_R, 0, TY - 1)
-    tx = jnp.clip((ix - 64) // TI_C, 0, TX - 1)
+    ty = jnp.clip((iy - MR) // TI_R, 0, TY - 1)
+    tx = jnp.clip((ix - MC) // TI_C, 0, TX - 1)
     tid = ty * TX + tx
 
-    # stable per-tile placement (prefix-sum ranks; see _run_bucketed)
-    dest = jnp.zeros((K,), jnp.int32)
-    start = jnp.int32(0)
-    cnts_list, starts_list = [], []
-    for t in range(T):
-        m = elig & (tid == t)
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        dest = jnp.where(m, start + rank, dest)
-        starts_list.append(start)
-        cnt = jnp.sum(m).astype(jnp.int32)
-        cnts_list.append(cnt)
-        start = start + cnt
+    # stable per-tile placement via ONE 2-D prefix sum over the (K, T)
+    # tile one-hot (a per-tile loop of 1-D cumsums costs ~T scan
+    # kernels — ~2 ms of fixed overhead at T=28)
+    onehot = ((tid[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :])
+              & elig[:, None]).astype(jnp.int32)
+    C = jnp.cumsum(onehot, axis=0)                      # (K, T)
+    cnts = C[-1]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(cnts)[:-1]])
+    # row-rank and tile-start selected by the one-hot itself (keeps the
+    # hot path gather-free; a take_along_axis here cost ~40 ms/frame)
+    rank = jnp.sum(onehot * C, axis=1) - 1
+    start_k = jnp.sum(onehot * starts[None, :], axis=1)
+    total = jnp.sum(cnts)
     m = ~elig
-    dest = jnp.where(m, start + jnp.cumsum(m.astype(jnp.int32)) - 1, dest)
-    cnts = jnp.stack(cnts_list)
-    starts = jnp.stack(starts_list)
+    dest = jnp.where(elig, start_k + rank,
+                     total + jnp.cumsum(m.astype(jnp.int32)) - 1)
     sel = jnp.zeros((K,), jnp.int32).at[dest].set(
         jnp.arange(K, dtype=jnp.int32))
 
@@ -728,7 +741,7 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     c0 = jnp.clip(tx * TI_C, 0, w_pad - TE_C)
     iyl_t = iy - r0
     ixl_t = ix - c0
-    cs = (jnp.clip(ixl_t - 64, 0, TE_C - 256) // 128) * 128
+    cs = (jnp.clip(ixl_t - MC, 0, TE_C - WC) // 128) * 128
     meta = jnp.stack([jnp.zeros((K,), jnp.int32), cs, iyl_t, ixl_t,
                       step, iscale, irad,
                       jnp.zeros((K,), jnp.int32)], axis=0)
@@ -740,7 +753,9 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     G = _TILE_GROUP
     m1 = -(-(255 * TE_R * TE_C).bit_length() // 8)
     kernel = functools.partial(_kernel_tiles, R=R, RH=RH, T=T, TX=TX,
-                               h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s)
+                               h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s,
+                               TE_R=TE_R, TE_C=TE_C, WC=WC, TI_R=TI_R,
+                               TI_C=TI_C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
@@ -760,8 +775,10 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K_pad, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(2 + 1) * TE_R * TE_C * 4
-            + G * RW * (TE_R + 4 * TE_C) + K_pad * 512 + 8 * 2 ** 20),
+            vmem_limit_bytes=min((2 + 1) * TE_R * TE_C * 4
+                                 + G * RW * (TE_R + 4 * TE_C)
+                                 + K_pad * 512 + 8 * 2 ** 20,
+                                 15 * 2 ** 20)),
         interpret=interpret,
     )(cnts, starts, meta, fpar, ii_pad)
     return jnp.take(out, dest, axis=0)
@@ -796,18 +813,25 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     rows [fracr, fracc, spacing, sine, cose]; cfg_s is the static
     tuple (wsz, osz, upright, extended, ih, iw).
 
-    Small-footprint keypoints (span <= _TILE_SPAN_CAP — all of octaves
-    0-1 in the default config) run through the shared-tile kernel (one
-    tile DMA serves ~100 keypoints); the rest through the span-bucketed
-    per-keypoint kernel.  The two return rows on complementary masks."""
+    Keypoints route to the smallest shared-tile level whose span/s caps
+    cover them (level 0 takes all of octave 0, level 1 octaves 1-2 in
+    the default config; one tile DMA serves ~100 keypoints); the rest
+    go through the span-bucketed per-keypoint kernel.  The paths return
+    rows on complementary masks."""
     span = irad * step + iscale + 1
-    small = valid & (span <= _TILE_SPAN_CAP)
-    rows = _run_supertile(ii, ix, iy, step, iscale, irad, small, fparams,
-                          R=R, cfg_s=cfg_s, interpret=interpret)
-    if max_span > _TILE_SPAN_CAP:
-        big = valid & (span > _TILE_SPAN_CAP)
+    remaining = valid
+    rows = None
+    for lv, (_, _, _, _, span_cap, s_cap) in enumerate(_LEVELS):
+        elig = remaining & (span <= span_cap) & (iscale <= s_cap)
+        r = _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams,
+                           R=R, cfg_s=cfg_s, level=lv, interpret=interpret)
+        rows = r if rows is None else rows + r
+        remaining = remaining & ~elig
+        if max_span <= span_cap:
+            break
+    if max_span > _LEVELS[0][4]:
         rows = rows + _run_bucketed(
-            ii, ix, iy, step, iscale, irad, big, fparams, R=R,
+            ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,
             max_span=max_span, mode="desc", cfg_s=cfg_s, caps=caps,
             interpret=interpret)
     return rows
