@@ -5,7 +5,8 @@ from .evaluate import ate_rmse, umeyama_align
 from .checkpoint import save_pipeline, load_pipeline
 from .sequence import (render_plane_sequence, run_sequence, SequenceResult,
                        load_image_dir, load_tum_trajectory,
-                       associate_timestamps)
+                       load_kitti_poses, load_kitti_calib,
+                       load_kitti_times, associate_timestamps)
 from .loopclosure import LoopDetector, LoopClosure, optimize_with_loops
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "ate_rmse", "umeyama_align", "save_pipeline", "load_pipeline",
     "render_plane_sequence", "run_sequence", "SequenceResult",
     "load_image_dir", "load_tum_trajectory", "associate_timestamps",
+    "load_kitti_poses", "load_kitti_calib", "load_kitti_times",
     "LoopDetector", "LoopClosure", "optimize_with_loops",
 ]

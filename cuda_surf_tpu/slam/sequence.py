@@ -132,6 +132,44 @@ def load_tum_trajectory(path: str) -> tuple:
     return (np.asarray(ts), np.asarray(cs), np.asarray(qs))
 
 
+def load_kitti_poses(path: str) -> tuple:
+    """Parse a KITTI odometry poses file (lines of 12 floats: the
+    row-major 3x4 cam-to-world matrix [R|t]) -> (poses (N, 4, 4),
+    centres (N, 3)).  Centres feed evaluate.ate_rmse directly."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            vals = [float(v) for v in line.split()]
+            if len(vals) == 12:
+                rows.append(vals)
+    if not rows:
+        raise ValueError(f"no 3x4 pose rows in {path!r}")
+    P = np.asarray(rows).reshape(-1, 3, 4)
+    poses = np.tile(np.eye(4), (len(P), 1, 1))
+    poses[:, :3, :] = P
+    return poses, P[:, :, 3].copy()
+
+
+def load_kitti_calib(path: str, camera: int = 0) -> "Intrinsics":
+    """Parse a KITTI odometry calib.txt (`P0: <12 floats>` rows, one
+    per camera) into the pinhole Intrinsics of the chosen camera."""
+    key = f"P{camera}:"
+    with open(path) as f:
+        for line in f:
+            if line.startswith(key):
+                vals = [float(v) for v in line.split()[1:]]
+                P = np.asarray(vals).reshape(3, 4)
+                return Intrinsics(fx=float(P[0, 0]), fy=float(P[1, 1]),
+                                  cx=float(P[0, 2]), cy=float(P[1, 2]))
+    raise ValueError(f"no {key} row in {path!r}")
+
+
+def load_kitti_times(path: str) -> np.ndarray:
+    """Parse a KITTI odometry times.txt (one timestamp per line)."""
+    with open(path) as f:
+        return np.asarray([float(line) for line in f if line.strip()])
+
+
 def associate_timestamps(t_a, t_b, max_dt: float = 0.02):
     """Nearest-neighbour association of two timestamp lists (the TUM
     benchmark's associate step): returns index pairs (i, j)."""

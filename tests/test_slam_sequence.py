@@ -126,3 +126,32 @@ def test_tum_loaders(tmp_path):
 
     pairs = associate_timestamps([1.0, 1.06, 1.2], ts, max_dt=0.02)
     assert (pairs == np.array([[0, 0], [1, 1]])).all()
+
+
+def test_kitti_loaders(tmp_path):
+    import numpy as np
+    from cuda_surf_tpu.slam.sequence import (load_kitti_poses,
+                                             load_kitti_calib,
+                                             load_kitti_times)
+
+    # identity pose then a 1m forward translation
+    poses_f = tmp_path / "00.txt"
+    poses_f.write_text("1 0 0 0 0 1 0 0 0 0 1 0\n"
+                       "1 0 0 0 0 1 0 0 0 0 1 1\n")
+    poses, centres = load_kitti_poses(str(poses_f))
+    assert poses.shape == (2, 4, 4) and centres.shape == (2, 3)
+    np.testing.assert_allclose(poses[0], np.eye(4))
+    np.testing.assert_allclose(centres[1], [0, 0, 1])
+    np.testing.assert_allclose(poses[1][3], [0, 0, 0, 1])
+
+    calib = tmp_path / "calib.txt"
+    calib.write_text(
+        "P0: 718.856 0 607.1928 0 0 718.856 185.2157 0 0 0 1 0\n"
+        "P1: 718.856 0 607.1928 -386.1448 0 718.856 185.2157 0 0 0 1 0\n")
+    intr = load_kitti_calib(str(calib))
+    assert abs(intr.fx - 718.856) < 1e-9 and abs(intr.cy - 185.2157) < 1e-9
+
+    times = tmp_path / "times.txt"
+    times.write_text("0.0\n0.103\n0.207\n")
+    t = load_kitti_times(str(times))
+    assert t.shape == (3,) and abs(t[1] - 0.103) < 1e-12
