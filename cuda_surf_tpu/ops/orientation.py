@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 import jax
+import numpy as np
 from jax import lax
 import jax.numpy as jnp
 
@@ -107,49 +108,67 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
         sums = jnp.einsum("sb,sv->bv", onehot,
                   jnp.where(ok[:, None], vals, 0.0),
                   precision="float32")  # (NBIN, 4)
-        hist, angsum, part_sums, angpsum = sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]
+        return sums
 
-        avg = jnp.where(hist > 0, angsum / jnp.maximum(hist, 1.0), bins)
-        # part_angle_sums with wrapped copies (surfd.cu:1798-1806):
-        # slot b+HWN holds bin b; low slots hold bins 66..71 shifted by -2pi,
-        # high slots hold bins 0..5 shifted by +2pi.
-        pas = jnp.concatenate([
-            angpsum[NBIN - HWN:] - _2PI * part_sums[NBIN - HWN:],
-            angpsum,
-            angpsum[:HWN] + _2PI * part_sums[:HWN],
-        ])  # (NBIN + 2*HWN,)
+    sums = lax.map(lambda t: jax.vmap(one)(*t), tuple(stacked))
+    sums = sums.reshape(-1, NBIN, 4)[:k]                 # (K, NBIN, 4)
+    hist, angsum = sums[:, :, 0], sums[:, :, 1]
+    part_sums, angpsum = sums[:, :, 2], sums[:, :, 3]
 
-        idx = jnp.arange(NBIN, dtype=jnp.int32)
-        # middle bins j in (-HWN, HWN)
-        js = jnp.arange(-HWN + 1, HWN, dtype=jnp.int32)      # (11,)
-        kmat = idx[:, None] + js[None, :]                    # (72, 11)
-        win_asums = pas[kmat + HWN].sum(1)
-        win_sums = part_sums[kmat % NBIN].sum(1)
-        # left edge j = -HWN
-        kl = idx - HWN
-        klw = jnp.where(kl < 0, kl + NBIN, kl)
-        k1 = (klw + 1) % NBIN
-        res_l = jnp.where(
-            kl < 0,
-            bins[k1] + jnp.float32(WINDOW / 2) - avg
-            - jnp.where(bins[k1] < 0, 0.0, float(2 * math.pi)),
-            bins[jnp.clip(kl + 1, 0, NBIN - 1)] + jnp.float32(WINDOW / 2) - avg)
-        ratio_l = res_l / jnp.float32(SEP_ANGLE)
-        win_sums = win_sums + ratio_l * part_sums[klw]
-        win_asums = win_asums + ratio_l * pas[idx]
-        # right edge j = +HWN
-        kr = idx + HWN
-        krw = jnp.where(kr >= NBIN, kr - NBIN, kr)
-        res_r = jnp.where(
-            kr >= NBIN,
-            avg + jnp.float32(WINDOW / 2) - _2PI - bins[krw],
-            avg + jnp.float32(WINDOW / 2) - bins[krw])
-        ratio_r = res_r / jnp.float32(SEP_ANGLE)
-        win_sums = win_sums + ratio_r * part_sums[krw]
-        win_asums = win_asums + ratio_r * pas[idx + 2 * HWN]
+    # The pi/3 sliding-window stage, batched over ALL keypoints with
+    # static tables as constants, static wraps as rolls/slices, and the
+    # 11-bin window sums as one constant-banded matmul each — the
+    # vmapped per-keypoint gathers this replaces cost ~1 ms/frame.
+    avg = jnp.where(hist > 0, angsum / jnp.maximum(hist, 1.0),
+                    bins[None, :])
+    # part_angle_sums with wrapped copies (surfd.cu:1798-1806):
+    # slot b+HWN holds bin b; low slots hold bins 66..71 shifted by
+    # -2pi, high slots hold bins 0..5 shifted by +2pi.
+    pas = jnp.concatenate([
+        angpsum[:, NBIN - HWN:] - _2PI * part_sums[:, NBIN - HWN:],
+        angpsum,
+        angpsum[:, :HWN] + _2PI * part_sums[:, :HWN],
+    ], axis=1)  # (K, NBIN + 2*HWN)
 
-        best = jnp.argmax(win_sums)
-        return win_asums[best] / win_sums[best]
+    idx = np.arange(NBIN)
+    js = np.arange(-HWN + 1, HWN)                        # (11,)
+    kmat = idx[:, None] + js[None, :]                    # (72, 11)
+    WA = np.zeros((NBIN + 2 * HWN, NBIN), np.float32)
+    np.add.at(WA, (np.ravel(kmat + HWN),
+                   np.repeat(idx, len(js))), 1.0)
+    WS = np.zeros((NBIN, NBIN), np.float32)
+    np.add.at(WS, (np.ravel(kmat % NBIN),
+                   np.repeat(idx, len(js))), 1.0)
+    win_asums = pas @ jnp.asarray(WA)
+    win_sums = part_sums @ jnp.asarray(WS)
 
-    out = lax.map(lambda t: jax.vmap(one)(*t), tuple(stacked))
-    return out.reshape(-1)[:k]
+    bins_np = np.asarray(bin_centers(), np.float32)
+    half_w = np.float32(WINDOW / 2)
+    # left edge j = -HWN (static tables; only `avg` is per-keypoint)
+    kl = idx - HWN
+    klw = np.where(kl < 0, kl + NBIN, kl)
+    k1 = (klw + 1) % NBIN
+    base_l = np.where(
+        kl < 0,
+        bins_np[k1] + half_w
+        - np.where(bins_np[k1] < 0, 0.0, 2 * math.pi).astype(np.float32),
+        bins_np[np.clip(kl + 1, 0, NBIN - 1)] + half_w)
+    ratio_l = (jnp.asarray(base_l)[None, :] - avg) / jnp.float32(SEP_ANGLE)
+    # part_sums[:, klw] is the static permutation b -> (b-HWN) % NBIN,
+    # i.e. a roll; pas[:, 0:NBIN] is the same left-edge bin in the
+    # wrapped-slot layout (slot b holds bin b-HWN with its -2pi shift)
+    win_sums = win_sums + ratio_l * jnp.roll(part_sums, HWN, axis=1)
+    win_asums = win_asums + ratio_l * pas[:, :NBIN]
+    # right edge j = +HWN
+    kr = idx + HWN
+    krw = np.where(kr >= NBIN, kr - NBIN, kr)
+    base_r = np.where(kr >= NBIN, -2 * math.pi - bins_np[krw],
+                      -bins_np[krw]).astype(np.float32) + half_w
+    ratio_r = (avg + jnp.asarray(base_r)[None, :]) / jnp.float32(SEP_ANGLE)
+    win_sums = win_sums + ratio_r * jnp.roll(part_sums, -HWN, axis=1)
+    win_asums = win_asums + ratio_r * pas[:, 2 * HWN:]
+
+    sel = jax.nn.one_hot(jnp.argmax(win_sums, axis=1), NBIN,
+                         dtype=jnp.float32)
+    return (jnp.sum(sel * win_asums, axis=1)
+            / jnp.sum(sel * win_sums, axis=1))
