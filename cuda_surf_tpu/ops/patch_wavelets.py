@@ -289,25 +289,21 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
         return jnp.sum(wao * P, axis=0)
 
     # rotated: rx/cx depend on both sample axes; masked reductions per
-    # (a, b) bin pair, accumulated into one-hot lanes.  A fori_loop
-    # with dynamic bin indices, not a 64-way static unroll — the
-    # unrolled form bloats the kernel ~16x and can abort the TPU
-    # compiler on large-R configs.
+    # (a, b) bin pair, accumulated into static one-hot lanes.  Keep the
+    # static unroll: a fori_loop with dynamic bin indices was ~2.4 us
+    # per keypoint slower (Mosaic loop overhead, +13 ms on the rotated
+    # pair bench) despite 16x less kernel code.
     okf = ok.astype(jnp.float32)
+    desc = jnp.zeros((1, 128), jnp.float32)
     lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    ovs = jnp.stack(ov)                     # (osz, RH, 128)
-
-    def ab_body(abi, desc):
-        a = abi // wsz
-        b = abi - a * wsz
-        t = bin_w(ri, rfrac, a) * bin_w(ci, cfrac, b) * okf
-        for o in range(osz):
-            val = jnp.sum(t * ovs[o])
-            desc = desc + jnp.where(lane == abi * osz + o, val, zero)
-        return desc
-
-    desc = lax.fori_loop(0, wsz * wsz, ab_body,
-                         jnp.zeros((1, 128), jnp.float32))
+    for a in range(wsz):
+        wa = bin_w(ri, rfrac, a)
+        for b in range(wsz):
+            t = wa * bin_w(ci, cfrac, b) * okf
+            for o in range(osz):
+                val = jnp.sum(t * ov[o])
+                l = (a * wsz + b) * osz + o
+                desc = desc + jnp.where(lane == l, val, zero)
     return desc[0]
 
 
