@@ -198,3 +198,39 @@ def test_nondefault_config_parity(small_image):
         v = np.asarray(kpA.valid)
         np.testing.assert_allclose(np.asarray(dA)[v], np.asarray(dB)[v],
                                    atol=1e-5, err_msg=str(kw))
+
+
+def test_supertile_seam_keypoints(rng):
+    """Descriptors for keypoints planted on tile-interior boundaries
+    (the shared-tile kernel's ownership/margin edges) match the gather
+    path exactly — pins the tile margin arithmetic."""
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.ops.descriptor import describe
+
+    img = rng.integers(0, 256, (300, 700), np.uint8)
+    ii = jnp.asarray(_integral(img).astype(np.int32))
+
+    # seam rows/cols of the (256, 512) level-0 tiles: interiors start at
+    # margin 64 and advance by TI_R=128 / TI_C=384
+    ys = [63, 64, 65, 191, 192, 193, 290]
+    xs = [63, 64, 65, 447, 448, 449, 690]
+    y, x = np.meshgrid(ys, xs, indexing="ij")
+    y = y.ravel().astype(np.float64) + 0.3
+    x = x.ravel().astype(np.float64) - 0.2
+    # scales spanning the supertile cap and the bucketed fallback
+    scale = np.resize([2.5, 3.8, 6.0, 9.5], y.shape)
+    valid = np.ones(y.shape, bool)
+    ori = np.zeros_like(y)
+
+    cfgA = SurfConfig(noctaves=2, max_pts=y.size, wavelet_method="gather")
+    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    dA = jax.jit(lambda: describe(
+        ii, cfgA, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(scale, jnp.float32), jnp.asarray(ori, jnp.float32),
+        jnp.asarray(valid)))()
+    dB = jax.jit(lambda: describe(
+        ii, cfgB, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.asarray(scale, jnp.float32), jnp.asarray(ori, jnp.float32),
+        jnp.asarray(valid)))()
+    np.testing.assert_allclose(np.asarray(dA), np.asarray(dB), atol=2e-6)
