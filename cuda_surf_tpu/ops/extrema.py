@@ -74,14 +74,17 @@ def fit_stencils(resp: jnp.ndarray) -> jnp.ndarray:
     resp: (ms, oh, ow) -> (ms, oh, ow, 10) float32 holding
     [g_s, g_r, g_c, H_ss, H_rr, H_cc, H_sr, H_sc, H_rc, center]
     (central differences of fitQuadrat, surfd.cu:942-988).  Values in
-    the one-cell border / end scales are garbage (wrapped) but the walk
-    never samples there.
+    the one-cell border / end scales are garbage (zero-padded) but the
+    walk never samples there.  Shifts are unit-offset slices of ONE
+    zero-padded buffer — jnp.roll builds a concat chain per shift that
+    XLA cannot fuse into a single-buffer stencil read.
     """
-    def sh(a, ds, dr, dc):
-        for ax, d in ((0, ds), (1, dr), (2, dc)):
-            if d:
-                a = jnp.roll(a, -d, axis=ax)
-        return a
+    ms, oh, ow = resp.shape
+    rp = jnp.pad(resp, ((1, 1), (1, 1), (1, 1)))
+
+    def sh(_, ds, dr, dc):
+        return lax.slice(rp, (1 + ds, 1 + dr, 1 + dc),
+                         (1 + ds + ms, 1 + dr + oh, 1 + dc + ow))
 
     c = resp
     half = jnp.float32(0.5)
