@@ -73,6 +73,23 @@ def main():
     _ = float(jnp.sum(m.score))
     match_ms = (time.perf_counter() - t0) / ITERS * 1e3
 
+    # full two-view geometry on top of matching (the BASELINE.json
+    # "detect+describe+match+BA" per-frame metric): ratio/Laplacian
+    # filtering, 512-hypothesis RANSAC essential matrix, pose recovery,
+    # triangulation
+    from cuda_surf_tpu.slam import track_pair, default_intrinsics
+    intr = default_intrinsics(*left.shape)
+    key = jax.random.PRNGKey(0)
+    trk = jax.jit(track_pair)
+    r = trk(kp1, d1, kp2, d2, intr, key)
+    jax.block_until_ready(r.t)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        r = trk(kp1, d1, kp2, d2, intr, key)
+    _ = float(jnp.sum(r.t))
+    track_ms = (time.perf_counter() - t0) / ITERS * 1e3
+    n_inl = int(r.n_inliers)
+
     # secondary metric: the rotation-invariant path (orientation
     # assignment + rotated descriptors), reference demo uses upright
     import dataclasses
@@ -99,6 +116,8 @@ def main():
         "vs_baseline": round(BASELINE_MS / detect_ms, 3),
         "extra": {
             "match_ms": round(match_ms, 4),
+            "track_ms": round(track_ms, 4),
+            "ransac_inliers": n_inl,
             "rotated_pair_ms": round(rotated_ms, 4),
             "keypoints": [n1, n2],
             "device": str(jax.devices()[0]),

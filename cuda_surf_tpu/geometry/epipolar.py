@@ -40,12 +40,32 @@ def _normalize_pts(p, mask):
     return (p - mean) * scale, T
 
 
-def _eight_point(x1, x2, mask):
-    """Essential matrix from >= 8 normalized-camera correspondences.
+def _smallest_eigvec9(M, iters: int = 4):
+    """Eigenvector of the smallest eigenvalue of a PSD 9x9 matrix via
+    regularized inverse iteration: a few direct 9x9 solves, which vmap
+    over hypotheses, where a batched jnp.linalg.eigh costs tens of ms
+    on TPU.  Convergence ratio is (lam_min+eps)/(lam_2+eps) — one or
+    two steps suffice for the near-null systems RANSAC builds."""
+    eps = jnp.float32(1e-9) * jnp.trace(M) + jnp.float32(1e-20)
+    B = M + eps * jnp.eye(9, dtype=M.dtype)
+    # deterministic start with all components populated
+    v = jnp.linspace(1.0, 2.0, 9).astype(M.dtype)
+    v = v / jnp.linalg.norm(v)
 
-    Smallest eigenvector of A^T A (9x9 eigh -- batched-friendly on TPU),
-    then projection onto the essential manifold via 3x3 SVD.
-    """
+    def body(_, v):
+        w = jnp.linalg.solve(B, v)
+        return w * jax.lax.rsqrt(jnp.maximum(w @ w, 1e-30))
+
+    return jax.lax.fori_loop(0, iters, body, v)
+
+
+def _eight_point(x1, x2, mask):
+    """Fundamental/essential system from >= 8 normalized-camera
+    correspondences: smallest eigenvector of the 9x9 normal matrix.
+
+    NOTE: returns the UNPROJECTED F (not forced to the essential
+    manifold) — Sampson scoring works on it directly; callers project
+    the final winner once via `project_essential`."""
     p1, T1 = _normalize_pts(x1, mask)
     p2, T2 = _normalize_pts(x2, mask)
     u1, v1 = p1[:, 0], p1[:, 1]
@@ -53,12 +73,14 @@ def _eight_point(x1, x2, mask):
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1,
                    jnp.ones_like(u1)], -1)
     A = A * mask[:, None]
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    F = vecs[:, 0].reshape(3, 3)
-    F = T2.T @ F @ T1
+    F = _smallest_eigvec9(A.T @ A).reshape(3, 3)
+    return T2.T @ F @ T1
+
+
+def project_essential(F):
+    """Project onto the essential manifold (singular values 1, 1, 0)."""
     U, s, Vt = jnp.linalg.svd(F)
-    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
-    return E
+    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
 
 
 @f32_matmuls
@@ -78,8 +100,11 @@ def sampson_error(E, x1, x2):
 def triangulate(R, t, x1, x2):
     """Batched DLT triangulation for cameras [I|0] and [R|t].
 
-    4x4 symmetric eigenproblem per point (smallest eigenvector of A^T A).
-    Returns (K, 3) points in cam1 frame.
+    Inhomogeneous linear system per point: the 4 DLT rows with w=1 give
+    A[:, :3] X = -A[:, 3], solved in closed form via the 3x3 normal
+    equations (Cramer) — pure elementwise math that batches over K,
+    where a batched 4x4 eigh costs ~10 ms on TPU.  Returns (K, 3)
+    points in cam1 frame.
     """
     P1 = jnp.concatenate([jnp.eye(3, dtype=R.dtype),
                           jnp.zeros((3, 1), R.dtype)], 1)
@@ -90,12 +115,26 @@ def triangulate(R, t, x1, x2):
                           x[..., 1, None] * P[2] - P[1]], -2)
 
     A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], -2)  # (K, 4, 4)
-    AtA = jnp.einsum("kij,kil->kjl", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., 0]
-    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < 1e-12,
-                                  jnp.sign(X[..., 3:]) * 1e-12 + 1e-12,
-                                  X[..., 3:])
+    M = jnp.einsum("kij,kil->kjl", A[..., :3], A[..., :3])  # (K, 3, 3)
+    b = -jnp.einsum("kij,ki->kj", A[..., :3], A[..., 3])    # (K, 3)
+
+    # Cramer's rule on the symmetric 3x3 normal system
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    # degenerate rays -> arbitrary finite point (rejected by cheirality)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    X = jnp.stack([c00 * b0 + c01 * b1 + c02 * b2,
+                   c01 * b0 + c11 * b1 + c12 * b2,
+                   c02 * b0 + c12 * b1 + c22 * b2], -1)
+    return X * inv_det[..., None]
 
 
 def _cheirality(R, t, x1, x2, mask):
@@ -136,8 +175,10 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
     """
     k = x1.shape[0]
     count = jnp.maximum(valid.sum(), 1)
-    # valid-first compaction of indices, sample mod count
-    order = jnp.argsort(~valid)  # stable: valid rows first
+    # valid-first compaction of indices, sample mod count (prefix-sum
+    # compaction, not argsort: a (K,) sort costs ~1 ms on TPU)
+    from ..types import compact
+    _, _, order = compact(valid, k, jnp.arange(k, dtype=jnp.int32))
     raw = jax.random.randint(key, (n_hypotheses, 8), 0, jnp.iinfo(jnp.int32).max)
     sample = order[raw % count]  # (H, 8) indices of valid rows
 
@@ -165,6 +206,9 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
         inliers = jnp.where(use, inl_new, inliers)
         n_best = jnp.maximum(inl_new.sum(), n_best)
 
+    # single manifold projection of the winner (hypotheses score on the
+    # unprojected F; a per-hypothesis 3x3 SVD is TPU-hostile)
+    E = project_essential(E)
     R, t, X = recover_pose(E, x1, x2, inliers)
     return TwoViewResult(E=E, R=R, t=t, inliers=inliers,
                          n_inliers=inliers.sum().astype(jnp.int32),
