@@ -122,19 +122,22 @@ def _schur_system(state: BAState, prob: BAProblem, lam, n_cameras: int,
     P, M = prob.mask.shape
     C = n_cameras
 
-    # Camera diagonal blocks U and rhs g_c, scattered per observation.
+    # Camera diagonal blocks U and rhs g_c, accumulated per observation
+    # via one-hot contractions (TPU scatter-adds run ~10x slower than
+    # the equivalent MXU matmul at these sizes).
+    cam_oh = jax.nn.one_hot(prob.cam_idx.reshape(-1), C,
+                            dtype=Jc.dtype)              # (P*M, C)
     U_obs = jnp.einsum("pmia,pmib->pmab", Jc, Jc)        # (P, M, 6, 6)
     gc_obs = jnp.einsum("pmia,pmi->pma", Jc, r)
-    U = jnp.zeros((C, 6, 6)).at[prob.cam_idx.reshape(-1)].add(
-        U_obs.reshape(-1, 6, 6))
-    g_c = jnp.zeros((C, 6)).at[prob.cam_idx.reshape(-1)].add(
-        gc_obs.reshape(-1, 6))
+    U = jnp.einsum("nc,nz->cz", cam_oh,
+                   U_obs.reshape(-1, 36)).reshape(C, 6, 6)
+    g_c = cam_oh.T @ gc_obs.reshape(-1, 6)
 
     # Point blocks (dense per point, static M).
     V = jnp.einsum("pmia,pmib->pab", Jp, Jp)             # (P, 3, 3)
     g_p = jnp.einsum("pmia,pmi->pa", Jp, r)              # (P, 3)
     V_d = V + lam * _diag_only(V) + 1e-9 * jnp.eye(3)
-    Vinv = jnp.linalg.inv(V_d)
+    Vinv = _sym3_inv(V_d)
 
     # W blocks and Schur products.
     W = jnp.einsum("pmia,pmib->pmab", Jc, Jp)            # (P, M, 6, 3)
@@ -144,12 +147,13 @@ def _schur_system(state: BAState, prob: BAProblem, lam, n_cameras: int,
     pm = prob.mask[:, :, None] & prob.mask[:, None, :]
     pair = pair * pm[..., None, None]
     ids = (prob.cam_idx[:, :, None] * C + prob.cam_idx[:, None, :]).reshape(-1)
-    S = jnp.zeros((C * C, 6, 6)).at[ids].add(pair.reshape(-1, 6, 6))
-    S = U[:, None] * _block_eye(C)[..., None, None] - S.reshape(C, C, 6, 6)
+    pair_oh = jax.nn.one_hot(ids, C * C, dtype=pair.dtype)
+    S = jnp.einsum("nc,nz->cz", pair_oh,
+                   pair.reshape(-1, 36)).reshape(C, C, 6, 6)
+    S = U[:, None] * _block_eye(C)[..., None, None] - S
     # rhs: b_c = -g_c + Y g_p  (we solve S dx = -grad)
     Yg = jnp.einsum("pmac,pc->pma", Y, g_p)
-    b = jnp.zeros((C, 6)).at[prob.cam_idx.reshape(-1)].add(Yg.reshape(-1, 6))
-    b = -(g_c - b)
+    b = -(g_c - cam_oh.T @ Yg.reshape(-1, 6))
 
     # LM damping + gauge fixing (clamp camera 0).
     Sm = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
@@ -169,6 +173,26 @@ def _diag_only(A):
     return A * jnp.eye(A.shape[-1], dtype=A.dtype)
 
 
+def _sym3_inv(M):
+    """Closed-form cofactor inverse of batched symmetric 3x3 blocks —
+    pure elementwise math; a batched jnp.linalg.inv lowers to LU and
+    costs milliseconds on TPU at these block counts."""
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    row0 = jnp.stack([c00, c01, c02], -1)
+    row1 = jnp.stack([c01, c11, c12], -1)
+    row2 = jnp.stack([c02, c12, c22], -1)
+    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
+
+
 def _block_eye(c):
     return jnp.eye(c)
 
@@ -179,8 +203,12 @@ def lm_step(state: BAState, prob: BAProblem, lam, n_cameras: int,
     Sm, bv, Vinv, W, g_p = _schur_system(state, prob, lam, n_cameras,
                                          huber_delta)
     dc = jnp.linalg.solve(Sm, bv).reshape(n_cameras, 6)
-    # back-substitute points: dp = -Vinv (g_p + W^T dc)
-    dc_obs = dc[prob.cam_idx]                            # (P, M, 6)
+    # back-substitute points: dp = -Vinv (g_p + W^T dc); one-hot
+    # select instead of a row gather
+    P, M = prob.mask.shape
+    cam_oh = jax.nn.one_hot(prob.cam_idx.reshape(-1), n_cameras,
+                            dtype=dc.dtype)
+    dc_obs = (cam_oh @ dc).reshape(P, M, 6)
     Wt_dc = jnp.einsum("pmab,pma->pb", W, dc_obs)        # (P, 3)
     dp = -jnp.einsum("pab,pb->pa", Vinv, g_p + Wt_dc)
     new_R = exp_so3(dc[:, :3]) @ state.R
