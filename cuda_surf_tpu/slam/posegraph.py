@@ -57,21 +57,37 @@ def optimize(graph: PoseGraph, n_iters: int = 10,
 
     batched = jax.vmap(residual_and_jac)
 
+    ii, jj = graph.edge_i, graph.edge_j
+    # one-hot selects/accumulations instead of row gathers and
+    # scatter-adds (TPU scatter runs ~10x slower than the matmul)
+    oh_i = jax.nn.one_hot(ii, n, dtype=jnp.float32)      # (E, n)
+    oh_j = jax.nn.one_hot(jj, n, dtype=jnp.float32)
+    oh_hh = jax.nn.one_hot(jnp.concatenate([ii * n + ii, jj * n + jj,
+                                            ii * n + jj, jj * n + ii]),
+                           n * n, dtype=jnp.float32)     # (4E, n^2)
+    oh_bb = jnp.concatenate([oh_i, oh_j], axis=0)        # (2E, n)
+
+    def sel(oh, a):
+        return (oh @ a.reshape(n, -1)).reshape(oh.shape[0], *a.shape[1:])
+
     def step(carry, _):
         R, t = carry
-        r, Ji, Jj = batched(R[graph.edge_i], t[graph.edge_i],
-                            R[graph.edge_j], t[graph.edge_j],
+        r, Ji, Jj = batched(sel(oh_i, R), oh_i @ t,
+                            sel(oh_j, R), oh_j @ t,
                             graph.rel_R, graph.rel_t)
         w = graph.weight[:, None, None]
-        H = jnp.zeros((n, n, 6, 6))
-        b = jnp.zeros((n, 6))
-        ii, jj = graph.edge_i, graph.edge_j
-        H = H.at[ii, ii].add(w * jnp.einsum("eai,eaj->eij", Ji, Ji))
-        H = H.at[jj, jj].add(w * jnp.einsum("eai,eaj->eij", Jj, Jj))
-        H = H.at[ii, jj].add(w * jnp.einsum("eai,eaj->eij", Ji, Jj))
-        H = H.at[jj, ii].add(w * jnp.einsum("eai,eaj->eij", Jj, Ji))
-        b = b.at[ii].add(-(graph.weight[:, None]) * jnp.einsum("eai,ea->ei", Ji, r))
-        b = b.at[jj].add(-(graph.weight[:, None]) * jnp.einsum("eai,ea->ei", Jj, r))
+        blocks = jnp.concatenate([
+            w * jnp.einsum("eai,eaj->eij", Ji, Ji),
+            w * jnp.einsum("eai,eaj->eij", Jj, Jj),
+            w * jnp.einsum("eai,eaj->eij", Ji, Jj),
+            w * jnp.einsum("eai,eaj->eij", Jj, Ji)], axis=0)
+        H = jnp.einsum("ec,ez->cz", oh_hh,
+                       blocks.reshape(-1, 36)).reshape(n, n, 6, 6)
+        wb = graph.weight[:, None]
+        bvecs = jnp.concatenate([
+            -wb * jnp.einsum("eai,ea->ei", Ji, r),
+            -wb * jnp.einsum("eai,ea->ei", Jj, r)], axis=0)
+        b = oh_bb.T @ bvecs
         Hm = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
         Hm = Hm + damping * jnp.eye(6 * n)
         # gauge: clamp node 0
