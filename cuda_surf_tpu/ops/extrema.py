@@ -285,13 +285,17 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
         cf2 = jnp.where(act2, cf_n, cf2)
         act2 = moved
 
-    # scatter the walked subset back (dropped-overflow actives keep
-    # their first-iteration fit)
-    dest = jnp.where(v2, idx2, cap)
-    off = off.at[dest].set(off2, mode="drop")
-    strength = strength.at[dest].set(strength2, mode="drop")
-    r_fit = r_fit.at[dest].set(rf2, mode="drop")
-    c_fit = c_fit.at[dest].set(cf2, mode="drop")
+    # merge the walked subset back by rank-gather (compact is stable, so
+    # the i-th active slot landed at compacted row i): TPU gathers beat
+    # the equivalent 4 scatters (dropped-overflow actives keep their
+    # first-iteration fit)
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    walked = active & (rank < cap2)
+    rk = jnp.where(walked, rank, 0)
+    off = jnp.where(walked[:, None], jnp.take(off2, rk, axis=0), off)
+    strength = jnp.where(walked, jnp.take(strength2, rk), strength)
+    r_fit = jnp.where(walked, jnp.take(rf2, rk), r_fit)
+    c_fit = jnp.where(walked, jnp.take(cf2, rk), c_fit)
 
     good = valid
     good &= ~jnp.any(jnp.isnan(off), axis=1)

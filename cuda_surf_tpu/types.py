@@ -92,15 +92,25 @@ def compact(mask: jax.Array, capacity: int, *arrays):
     n = mask.shape[0]
     slots = jnp.arange(capacity, dtype=jnp.int32)
     if n >= (1 << 17):
-        # two-level: binary-search 128-element block counts, then find
-        # the in-block position from a row-gathered lane prefix sum —
-        # fewer dependent binary-search rounds than element-level search
+        # three-level: locate the i-th set bit's 128-element block with
+        # two compare-and-count reductions (superblock, then block via
+        # one row gather) instead of a binary search — searchsorted's
+        # serial gather rounds cost ~1 ms at 2M mask / 8K slots — then
+        # find the in-block position from a row-gathered lane prefix sum
         B = 128
         nb = -(-n // B)
         mp = jnp.pad(mask, (0, nb * B - n)).reshape(nb, B)
         bcs = jnp.cumsum(jnp.sum(mp, axis=1, dtype=jnp.int32))
         count = jnp.minimum(bcs[-1], capacity)
-        blk = jnp.searchsorted(bcs, slots + 1).astype(jnp.int32)
+        S = 128
+        nsb = -(-nb // S)
+        bcs_p = jnp.pad(bcs, (0, nsb * S - nb), mode="edge").reshape(nsb, S)
+        want = (slots + 1)[:, None]
+        sb = jnp.sum((bcs_p[:, -1][None, :] < want).astype(jnp.int32),
+                     axis=1)                             # (capacity,)
+        rows_b = jnp.take(bcs_p, sb, axis=0)             # (capacity, S)
+        blk = sb * S + jnp.sum((rows_b < want).astype(jnp.int32), axis=1)
+        blk = jnp.minimum(blk, nb - 1)
         base = jnp.where(blk > 0, jnp.take(bcs, jnp.maximum(blk - 1, 0)), 0)
         rows = jnp.take(mp, blk, axis=0)                 # (capacity, B)
         within = jnp.cumsum(rows.astype(jnp.int32), axis=1)
