@@ -267,7 +267,11 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
     off = jnp.where(valid[:, None], off, 0.0)
     strength = jnp.where(valid, strength, 0.0)
 
-    cap2 = max(cap // 2, 16)
+    # Walkers are rare (~1-2% of candidates move on real images: 78/111
+    # of 8192 on the reference fixtures), so the remaining iterations
+    # run on a cap//8 active set — overflow actives keep their
+    # first-iteration fit, as before.
+    cap2 = max(cap // 8, 64)
     slots = jnp.arange(cap, dtype=jnp.int32)
     (_, v2, idx2, lin2, r2, c2, b2, oh2, ow2) = compact(
         active, cap2, slots, lin, r, c, border, oh_t, ow_t)
