@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import SurfConfig, ScaleParams
-from .integral import _scan_rows_tri, _scan_cols_tri_limbs
+from .integral import phase_planes_all
 
 
 def response_pyramid(ii: jnp.ndarray, cfg: SurfConfig, h: int, w: int,
@@ -43,16 +43,20 @@ def response_pyramid(ii: jnp.ndarray, cfg: SurfConfig, h: int, w: int,
         if o > 0:
             layers.append(pyr[o - 1][cfg.max_scale - 3, : 2 * oh : 2, : 2 * ow : 2])
             layers.append(pyr[o - 1][cfg.max_scale - 1, : 2 * oh : 2, : 2 * ow : 2])
-        phases: dict = {"rows": {}}
-        src = img if use_mxu_phases else None
+        if use_mxu_phases:
+            # ALL of this octave's phase planes in two MXU matmuls
+            # (per-phase scans cost ~276 tiny matmuls over the pyramid)
+            phases = phase_planes_all(img, sched[o].scales[0].delta)
+        else:
+            phases = {}
         for sp in sched[o].scales:
-            layers.append(_response_layer(ii, sp, oh, ow, phases, src))
+            layers.append(_response_layer(ii, sp, oh, ow, phases))
         pyr.append(jnp.stack(layers))
     return pyr
 
 
 def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int,
-                    phases: dict, img: jnp.ndarray | None = None):
+                    phases: dict):
     """One scale's response map via phase-decimated box sums.
 
     Strided reads are hostile to the TPU's lane layout, so instead of 32
@@ -75,18 +79,9 @@ def _response_layer(ii: jnp.ndarray, sp: ScaleParams, oh: int, ow: int,
         # ii[d*(b1+y) + dy, d*(b1+x) + dx] for the full (ny, nx) grid.
         p, q = dy % d, dx % d
         if (p, q) not in phases:
-            if img is not None:
-                # row scans are shared across all row phases p of the
-                # same column phase q (they only depend on (d, q))
-                rows = phases["rows"]
-                if q not in rows:
-                    wq = (iw - 1 - q) // d + 1
-                    rows[q] = _scan_rows_tri(img.astype(jnp.bfloat16),
-                                             wq, d, q)
-                hp = (ih - 1 - p) // d + 1
-                phases[(p, q)] = _scan_cols_tri_limbs(rows[q], hp, d, p)
-            else:
-                phases[(p, q)] = lax.slice(ii, (p, q), (ih, iw), (d, d))
+            # CPU/debug path (the TPU path pre-builds every plane via
+            # integral.phase_planes_all)
+            phases[(p, q)] = lax.slice(ii, (p, q), (ih, iw), (d, d))
         ph = phases[(p, q)]
         y0, x0 = b1 + dy // d, b1 + dx // d
         return lax.slice(ph, (y0, x0), (y0 + ny, x0 + nx))

@@ -63,6 +63,45 @@ def phase_integral(img: jnp.ndarray, d: int, p: int, q: int) -> jnp.ndarray:
     return _scan_cols_tri_limbs(rows, hp, d, p)                # (hp, wq)
 
 
+def phase_planes_all(img: jnp.ndarray, d: int) -> dict:
+    """ALL d*d stride-d integral phase planes in two MXU matmuls.
+
+    Per-phase scans issue O(d^2) tiny matmuls per octave (~10-30 us of
+    fixed cost each — the hessian pyramid's dominant cost at d=8/16);
+    instead the q phases are concatenated into one triangular row pass,
+    then every (p, limb) is folded into a single stacked column pass.
+    Uniform block sizes (hp, wq) = (h//d+1, w//d+1) leave harmless
+    validly-cumulative tails.  Exact int32 (limb recombination as in
+    _scan_cols_tri_limbs).  Returns {(p, q): (hp, wq) int32 plane}.
+    """
+    h, w = img.shape
+    hp = h // d + 1
+    wq = w // d + 1
+    W = d * wq
+    # row pass: out column j = (q, X) -> sum of img[r, : d*X + q]
+    col = lax.broadcasted_iota(jnp.int32, (w, W), 0)
+    j = lax.broadcasted_iota(jnp.int32, (w, W), 1)
+    U = (col < d * (j % wq) + j // wq).astype(jnp.bfloat16)
+    rows = lax.dot_general(img.astype(jnp.bfloat16), U,
+                           (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)  # (h, W)
+    yi = rows.astype(jnp.int32)                                 # < 2^24
+    parts = jnp.concatenate([yi & 255, (yi >> 8) & 255, yi >> 16],
+                            axis=1).astype(jnp.bfloat16)        # (h, 3W)
+    # column pass: out row i = (p, Y) -> sum over img rows < d*Y + p
+    i = lax.broadcasted_iota(jnp.int32, (d * hp, h), 0)
+    row = lax.broadcasted_iota(jnp.int32, (d * hp, h), 1)
+    L = (row < d * (i % hp) + i // hp).astype(jnp.bfloat16)
+    out = lax.dot_general(L, parts, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)   # (d*hp, 3W)
+    acc = (out[:, :W].astype(jnp.int32)
+           + (out[:, W:2 * W].astype(jnp.int32) << 8)
+           + (out[:, 2 * W:].astype(jnp.int32) << 16))
+    return {(p, q): lax.slice(acc, (p * hp, q * wq),
+                              ((p + 1) * hp, (q + 1) * wq))
+            for p in range(d) for q in range(d)}
+
+
 def _integral_mxu(src_u8: jnp.ndarray) -> jnp.ndarray:
     h, w = src_u8.shape
     return phase_integral(src_u8, 1, 0, 0)
