@@ -52,7 +52,8 @@ def _load():
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         ip = ctypes.POINTER(ctypes.c_int)
-        lib.surfio_read_gray.argtypes = [ctypes.c_char_p, ip, ip, u8p]
+        lib.surfio_read_gray.argtypes = [ctypes.c_char_p, ip, ip, u8p,
+                                         ctypes.c_long]
         lib.surfio_read_gray.restype = ctypes.c_int
         lib.surfio_write_pgm.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                          ctypes.c_int, u8p]
@@ -63,7 +64,8 @@ def _load():
         lib.surfio_loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                            ctypes.c_int]
         lib.surfio_loader_open.restype = ctypes.c_void_p
-        lib.surfio_loader_next.argtypes = [ctypes.c_void_p, ip, ip, u8p]
+        lib.surfio_loader_next.argtypes = [ctypes.c_void_p, ip, ip, u8p,
+                                           ctypes.c_long]
         lib.surfio_loader_next.restype = ctypes.c_int
         lib.surfio_loader_close.argtypes = [ctypes.c_void_p]
         lib.surfio_loader_close.restype = None
@@ -75,22 +77,35 @@ def available() -> bool:
     return _load() is not None
 
 
+_PNM_EXTS = (".pgm", ".ppm", ".pnm")
+
+
+def _is_pnm(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in _PNM_EXTS
+
+
 def read_gray(path: str) -> np.ndarray:
-    """Decode a PGM/PPM to uint8 (H, W) via the native codec; falls back
-    to the Python loader."""
+    """Decode an image to uint8 (H, W).  PGM/PPM go through the native
+    codec when available; other formats (e.g. PNG) and any native decode
+    failure fall back to the pure-Python loader."""
     lib = _load()
-    if lib is None:
+    if lib is None or not _is_pnm(path):
         from .image import imread_gray
         return imread_gray(path)
     w = ctypes.c_int()
     h = ctypes.c_int()
     null = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
     if lib.surfio_read_gray(path.encode(), ctypes.byref(w),
-                            ctypes.byref(h), null) != 0:
-        raise IOError(f"surfio: cannot decode {path}")
+                            ctypes.byref(h), null, 0) != 0:
+        from .image import imread_gray
+        return imread_gray(path)
     out = np.empty((h.value, w.value), np.uint8)
-    lib.surfio_read_gray(path.encode(), ctypes.byref(w), ctypes.byref(h),
-                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    rc = lib.surfio_read_gray(
+        path.encode(), ctypes.byref(w), ctypes.byref(h),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes)
+    if rc != 0:   # file changed between query and fill
+        from .image import imread_gray
+        return imread_gray(path)
     return out
 
 
@@ -109,7 +124,10 @@ class FrameLoader:
         self._lib = _load()
         self._handle = None
         self._pos = 0
-        if self._lib is not None and self._paths:
+        # The native codec only speaks PNM; route mixed/PNG sequences to
+        # the Python decoder up front rather than failing mid-sequence.
+        if (self._lib is not None and self._paths
+                and all(_is_pnm(p) for p in self._paths)):
             blob = b"\x00".join(p.encode() for p in self._paths) + b"\x00"
             self._handle = self._lib.surfio_loader_open(
                 blob, len(self._paths), depth)
@@ -123,15 +141,24 @@ class FrameLoader:
             h = ctypes.c_int()
             null = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
             rc = self._lib.surfio_loader_next(
-                self._handle, ctypes.byref(w), ctypes.byref(h), null)
+                self._handle, ctypes.byref(w), ctypes.byref(h), null, 0)
             if rc == -2:
                 raise StopIteration
+            pos = self._pos
+            self._pos += 1
             if rc != 0:
-                raise IOError("surfio: decode error in sequence")
+                # native decode failure (error return consumed the
+                # frame): fall back to the Python decoder for this frame
+                from .image import imread_gray
+                return imread_gray(self._paths[pos])
             out = np.empty((h.value, w.value), np.uint8)
-            self._lib.surfio_loader_next(
+            rc = self._lib.surfio_loader_next(
                 self._handle, ctypes.byref(w), ctypes.byref(h),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.nbytes)
+            if rc != 0:
+                from .image import imread_gray
+                return imread_gray(self._paths[pos])
             return out
         if self._pos >= len(self._paths):
             raise StopIteration

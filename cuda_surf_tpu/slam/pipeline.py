@@ -99,6 +99,10 @@ class SlamPipeline:
         self.frames.clear()
         self._prev = None
         self._prev_depth = None
+        self.loops = []
+        self.frame_depths = []
+        self.map = None
+        self._detector = None
 
     def process(self, image: np.ndarray) -> FrameState:
         h, w = image.shape

@@ -83,6 +83,11 @@ bool decode_pnm(const std::vector<uint8_t>& buf, Image* img) {
       !parse_int(buf, pos, &maxval))
     return false;
   if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return false;
+  // Reject implausible dimensions before allocating: a corrupt header
+  // must not drive a multi-GB resize (std::bad_alloc across the C ABI).
+  if (w > (1 << 16) || h > (1 << 16) ||
+      static_cast<long long>(w) * h > (1LL << 28))
+    return false;
   size_t count = static_cast<size_t>(w) * h * channels;
   img->w = static_cast<int>(w);
   img->h = static_cast<int>(h);
@@ -173,15 +178,22 @@ void loader_worker(Loader* L) {
 extern "C" {
 
 // Decode a PGM/PPM to grayscale. Two-phase: pass data=nullptr to query
-// (w, h); then pass a w*h buffer. Returns 0 on success.
-int surfio_read_gray(const char* path, int* w, int* h, uint8_t* data) {
+// (w, h); then pass a buffer of `cap` bytes. Returns 0 on success, -1 on
+// decode error, -3 if the decoded frame does not fit `cap` (e.g. the
+// file changed between the size query and the fill — never overruns the
+// caller's allocation).
+int surfio_read_gray(const char* path, int* w, int* h, uint8_t* data,
+                     long cap) {
   std::vector<uint8_t> buf;
   Image img;
   if (!read_file(path, &buf) || !decode_pnm(buf, &img)) return -1;
   to_gray(&img);
   *w = img.w;
   *h = img.h;
-  if (data) memcpy(data, img.data.data(), img.data.size());
+  if (data) {
+    if (cap < 0 || static_cast<size_t>(cap) < img.data.size()) return -3;
+    memcpy(data, img.data.data(), img.data.size());
+  }
   return 0;
 }
 
@@ -222,8 +234,10 @@ void* surfio_loader_open(const char* paths, int count, int depth) {
 }
 
 // Blocking: fetch the next frame.  Two-phase like surfio_read_gray.
-// Returns 0 ok, -1 decode error, -2 end of sequence.
-int surfio_loader_next(void* handle, int* w, int* h, uint8_t* data) {
+// Returns 0 ok, -1 decode error, -2 end of sequence, -3 buffer too
+// small (frame NOT consumed — re-query and retry).
+int surfio_loader_next(void* handle, int* w, int* h, uint8_t* data,
+                       long cap) {
   Loader* L = static_cast<Loader*>(handle);
   if (L->next_read >= L->paths.size()) return -2;
   size_t frame = L->next_read;
@@ -238,6 +252,7 @@ int surfio_loader_next(void* handle, int* w, int* h, uint8_t* data) {
     *w = img.w;
     *h = img.h;
     if (state == 1 && data) {
+      if (cap < 0 || static_cast<size_t>(cap) < img.data.size()) return -3;
       memcpy(data, img.data.data(), img.data.size());
     }
     if (data || state != 1) {  // consume the slot

@@ -54,6 +54,62 @@ def test_checkpoint_resume_matches_continuous(plane_seq, tmp_path):
                                res_full.trajectory, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["window_ba", "loop_detect"])
+def test_checkpoint_resume_full_state(plane_seq, tmp_path, mode):
+    """Resume must be bit-equal to a continuous run with the windowed-BA
+    map and loop detector active (VERDICT round-1 item 9)."""
+    frames, centres, intr = plane_seq
+    if mode == "loop_detect":
+        frames = np.concatenate([frames, frames[-2::-1]])
+        kw = dict(loop_detect=True, loop_min_gap=4)
+    else:
+        kw = dict(window_ba=4)
+    full = _pipe(intrinsics=intr, **kw)
+    res_full = run_sequence(full, frames)
+
+    first = _pipe(intrinsics=intr, **kw)
+    run_sequence(first, frames[:4])
+    ck = str(tmp_path / "slam_full.npz")
+    save_pipeline(ck, first)
+
+    resumed = load_pipeline(ck, _pipe(intrinsics=intr, **kw))
+    if mode == "window_ba":
+        assert resumed.map is not None
+        assert len(resumed.map.keyframes) == len(first.map.keyframes)
+    else:
+        assert resumed._detector is not None
+        assert len(resumed._detector._frames) == 4
+    res_resumed = run_sequence(resumed, frames[4:])
+    assert len(resumed.frames) == len(frames)
+    np.testing.assert_allclose(res_resumed.trajectory,
+                               res_full.trajectory, atol=1e-5)
+    if mode == "loop_detect":
+        assert len(resumed.loops) == len(full.loops)
+        for a, b in zip(resumed.loops, full.loops):
+            assert (a.i, a.j) == (b.i, b.j)
+
+
+def test_checkpoint_v1_rejected_for_new_modes(plane_seq, tmp_path):
+    """A legacy checkpoint must not silently resume with window_ba /
+    loop_detect off (ADVICE round-1)."""
+    import json
+    frames, centres, intr = plane_seq
+    pipe = _pipe(intrinsics=intr)
+    run_sequence(pipe, frames[:2])
+    ck = str(tmp_path / "v1.npz")
+    save_pipeline(ck, pipe)
+    # rewrite the header as version 1
+    data = dict(np.load(ck))
+    header = json.loads(bytes(data["header"]).decode())
+    header["version"] = 1
+    data["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    np.savez_compressed(ck, **data)
+    with pytest.raises(ValueError):
+        load_pipeline(ck, _pipe(intrinsics=intr, window_ba=4))
+    # plain-VO resume of a v1 checkpoint still works
+    load_pipeline(ck, _pipe(intrinsics=intr))
+
+
 def test_windowed_ba_improves_or_matches(plane_seq):
     frames, centres, intr = plane_seq
     plain = run_sequence(_pipe(intrinsics=intr), frames, gt=centres)
