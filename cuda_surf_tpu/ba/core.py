@@ -142,14 +142,19 @@ def _schur_system(state: BAState, prob: BAProblem, lam, n_cameras: int,
     # W blocks and Schur products.
     W = jnp.einsum("pmia,pmib->pmab", Jc, Jp)            # (P, M, 6, 3)
     Y = jnp.einsum("pmab,pbc->pmac", W, Vinv)            # (P, M, 6, 3)
-    # S -= Y_m1 W_m2^T for all (m1, m2) pairs of each point
-    pair = jnp.einsum("pmac,pnbc->pmnab", Y, W)          # (P, M, M, 6, 6)
-    pm = prob.mask[:, :, None] & prob.mask[:, None, :]
-    pair = pair * pm[..., None, None]
-    ids = (prob.cam_idx[:, :, None] * C + prob.cam_idx[:, None, :]).reshape(-1)
-    pair_oh = jax.nn.one_hot(ids, C * C, dtype=pair.dtype)
-    S = jnp.einsum("nc,nz->cz", pair_oh,
-                   pair.reshape(-1, 36)).reshape(C, C, 6, 6)
+    # S -= Y_m1 W_m2^T for all (m1, m2) pairs of each point.  Instead of
+    # materializing the (P, M, M, 6, 6) pair tensor and a (P*M^2, C^2)
+    # one-hot (quadratic blowup at dense tracks / many cameras), fold
+    # the observation axis into per-point per-CAMERA aggregates first:
+    #   A_p[c] = sum_{m: cam=c} Y_m,  B_p[c] = sum_{m: cam=c} W_m
+    #   S[c,d] = sum_p A_p[c] B_p[d]^T
+    # which is ONE (6C, 3P) @ (3P, 6C) MXU matmul — linear in P*M*C.
+    cam_oh_m = cam_oh.reshape(P, M, C)
+    A = jnp.einsum("pmc,pmax->pcax", cam_oh_m, Y)        # (P, C, 6, 3)
+    B = jnp.einsum("pmc,pmax->pcax", cam_oh_m, W)        # (P, C, 6, 3)
+    A2 = A.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    B2 = B.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    S = (A2 @ B2.T).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
     S = U[:, None] * _block_eye(C)[..., None, None] - S
     # rhs: b_c = -g_c + Y g_p  (we solve S dx = -grad)
     Yg = jnp.einsum("pmac,pc->pma", Y, g_p)

@@ -21,12 +21,15 @@ from ..types import Keypoints, Matches
 
 def match(desc1: jnp.ndarray, valid1: jnp.ndarray,
           desc2: jnp.ndarray, valid2: jnp.ndarray,
-          x2: jnp.ndarray, y2: jnp.ndarray) -> Matches:
+          x2: jnp.ndarray, y2: jnp.ndarray,
+          scores: jnp.ndarray | None = None) -> Matches:
     neg = jnp.float32(-1e30)
-    # HIGH = bf16x3 passes: ~1e-6 relative score error on unit-norm
-    # descriptors, half the MXU passes of full-f32 emulation
-    scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGH)
+    if scores is None:
+        # HIGH = bf16x3 passes: ~1e-6 relative score error on unit-norm
+        # descriptors, half the MXU passes of full-f32 emulation
+        scores = jnp.dot(desc1, desc2.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGH)
     scores = jnp.where(valid2[None, :], scores, neg)
     # Best/second-best via two masked max passes: top_k sorts whole rows,
     # which is orders of magnitude slower on TPU than these fused
@@ -56,12 +59,15 @@ def match_keypoints(kp1: Keypoints, desc1: jnp.ndarray,
     are marked invalid (the symmetric filter the reference leaves to
     its caller) — one extra masked-argmax over the same score matrix.
     """
-    m = match(desc1, kp1.valid, desc2, kp2.valid, kp2.x, kp2.y)
+    scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGH)
+    m = match(desc1, kp1.valid, desc2, kp2.valid, kp2.x, kp2.y,
+              scores=scores)
     if not cross_check:
         return m
     neg = jnp.float32(-1e30)
-    scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGH)
+    # reuse the forward cross-matrix: the backward argmax only masks
+    # along the other axis, no second MXU pass needed
     scores = jnp.where(kp1.valid[:, None], scores, neg)
     back = jnp.argmax(scores, axis=0).astype(jnp.int32)   # (N2,)
     mutual = back[m.index] == jnp.arange(m.index.shape[0], dtype=jnp.int32)

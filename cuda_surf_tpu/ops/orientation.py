@@ -23,8 +23,11 @@ from ..config import NBIN, SEP_ANGLE, WINDOW, HWN, ORADIUS, ORADIUS_SQ, SurfConf
 from .integral import wavelet_dx, wavelet_dy
 from .patch_wavelets import wavelet_grids, use_pallas
 
-_PI = jnp.float32(math.pi)
-_2PI = jnp.float32(2 * math.pi)
+# np scalars, not jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize()
+import numpy as _np
+_PI = _np.float32(math.pi)
+_2PI = _np.float32(2 * math.pi)
 
 
 def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

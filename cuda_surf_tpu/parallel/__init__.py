@@ -1,4 +1,8 @@
 from .mesh import make_mesh, frame_sharding, replicated
 from .batch import BatchSurf
+from .multihost import (initialize_from_env, multiprocess_env,
+                        global_mesh, global_batch)
 
-__all__ = ["make_mesh", "frame_sharding", "replicated", "BatchSurf"]
+__all__ = ["make_mesh", "frame_sharding", "replicated", "BatchSurf",
+           "initialize_from_env", "multiprocess_env", "global_mesh",
+           "global_batch"]

@@ -163,6 +163,6 @@ def load_pipeline(path: str, pipe: SlamPipeline) -> SlamPipeline:
             leaves = [jnp.asarray(data[f"det_kp_{f}_{i}"])
                       for i in range(n_leaves)]
             kps = jax.tree_util.tree_unflatten(treedef, leaves)
-            pipe._detector._frames.append(
-                (kps, jnp.asarray(data[f"det_desc_{f}"])))
+            # add() also rebuilds the prescreen signature for the frame
+            pipe._detector.add(kps, jnp.asarray(data[f"det_desc_{f}"]))
     return pipe

@@ -40,34 +40,71 @@ class LoopDetector:
     """Verifies candidate loop pairs with matcher + RANSAC.
 
     Frames are registered with their (host) keypoints and descriptors;
-    `query(j)` checks frame j against all frames i <= j - min_gap and
+    `query(j)` checks frame j against frames i <= j - min_gap and
     returns verified closures.
+
+    An appearance prescreen keeps the per-frame cost bounded: each frame
+    stores a pooled descriptor signature (L2-normalized sum of its valid
+    SURF descriptors — one 64-d vector); a query scores all stored
+    signatures with one small host matmul and only the `prescreen_topk`
+    most similar candidates (cosine >= `prescreen_min_sim`) run the
+    expensive matcher+RANSAC verification.  Full exhaustive verification
+    of an F-frame history is O(F) RANSAC dispatches per query (~8.6 ms
+    each); the prescreen caps it at `prescreen_topk` regardless of F.
+    Set `prescreen_topk=None` to restore exhaustive verification.
     """
 
     def __init__(self, intr: Intrinsics, min_gap: int = 5,
-                 min_inliers: int = 60, ratio: float = 0.9, seed: int = 1):
+                 min_inliers: int = 60, ratio: float = 0.9, seed: int = 1,
+                 prescreen_topk: int | None = 3,
+                 prescreen_min_sim: float = 0.5):
         self.intr = intr
         self.min_gap = min_gap
         self.min_inliers = min_inliers
+        self.prescreen_topk = prescreen_topk
+        self.prescreen_min_sim = prescreen_min_sim
         self.key = jax.random.PRNGKey(seed)
         self._frames: List[tuple] = []      # (Keypoints, desc) on device
+        self._sigs: List[np.ndarray] = []   # (nfeatures,) host signatures
+        self.n_verifications = 0            # RANSAC verifications run
         self._track = jax.jit(
             lambda kp1, d1, kp2, d2, intr, key: track_pair(
                 kp1, d1, kp2, d2, intr, key, ratio=ratio))
 
+    @staticmethod
+    def _signature(kps: Keypoints, desc) -> np.ndarray:
+        d = np.asarray(desc, np.float32)
+        v = np.asarray(kps.valid, np.float32)
+        s = (d * v[:, None]).sum(0)
+        n = np.linalg.norm(s)
+        return s / n if n > 1e-12 else s
+
     def add(self, kps: Keypoints, desc) -> int:
         self._frames.append((kps, desc))
+        self._sigs.append(self._signature(kps, desc))
         return len(self._frames) - 1
+
+    def _candidates(self, j: int) -> List[int]:
+        hi = j - self.min_gap + 1
+        if hi <= 0:
+            return []
+        if self.prescreen_topk is None or hi <= self.prescreen_topk:
+            return list(range(hi))
+        sims = np.stack(self._sigs[:hi]) @ self._sigs[j]
+        order = np.argsort(-sims)[: self.prescreen_topk]
+        return sorted(int(i) for i in order
+                      if sims[i] >= self.prescreen_min_sim)
 
     def query(self, j: int | None = None) -> List[LoopClosure]:
         if j is None:
             j = len(self._frames) - 1
         kpj, dj = self._frames[j]
         out = []
-        for i in range(0, j - self.min_gap + 1):
+        for i in self._candidates(j):
             kpi, di = self._frames[i]
             self.key, sub = jax.random.split(self.key)
             res = self._track(kpi, di, kpj, dj, self.intr, sub)
+            self.n_verifications += 1
             n = int(res.n_inliers)
             if n >= self.min_inliers:
                 inl = np.asarray(res.inliers)

@@ -1,9 +1,17 @@
 """Pose-graph optimization (Gauss-Newton over SE(3) relative constraints).
 
 New capability (BASELINE.json north star).  TPU-first: per-edge residual
-Jacobians come from vmapped forward-mode autodiff, the normal equations
-are scatter-added into a dense (6N, 6N) system (pose graphs are small),
-and the solve is one replicated dense factorization.
+Jacobians come from vmapped forward-mode autodiff; the normal equations
+are assembled block-sparse.  Two solve paths, switched on graph size:
+
+ - small graphs (n <= 64 by default): dense (6n, 6n) system assembled
+   with one-hot MXU contractions (TPU scatter-add runs ~10x slower than
+   the equivalent matmul at these sizes) and one dense factorization;
+ - large graphs (KITTI-length trajectories, n ~ 1000+): the Hessian is
+   never materialized — a matrix-free block-Jacobi-preconditioned
+   conjugate-gradient solve whose matvec gathers the two endpoint
+   states of every edge and segment-sums the 6x6 block products back,
+   O(E) memory instead of the O(E n^2) one-hot / O(n^2) dense system.
 """
 
 from __future__ import annotations
@@ -16,6 +24,9 @@ from jax import lax
 
 from ..geometry.pose import exp_so3, log_so3, compose, invert
 from ..utils.precision import f32_matmuls
+
+# Dense one-hot assembly below this node count, matrix-free CG above.
+_DENSE_MAX_NODES = 64
 
 
 class PoseGraph(NamedTuple):
@@ -42,60 +53,141 @@ def _edge_residual(Ri, ti, Rj, tj, rel_R, rel_t, xi_i, xi_j):
     return jnp.concatenate([log_so3(Re), te])
 
 
-@f32_matmuls
-def optimize(graph: PoseGraph, n_iters: int = 10,
-             damping: float = 1e-6) -> PoseGraph:
-    n = graph.R.shape[0]
+def _edge_blocks(graph: PoseGraph, R, t):
+    """Residuals + weighted per-edge normal-equation blocks.
+
+    -> r (E, 6), Hii/Hjj/Hij (E, 6, 6), bi/bj (E, 6)."""
     zero6 = jnp.zeros(6, jnp.float32)
 
     def residual_and_jac(Ri, ti, Rj, tj, rel_R, rel_t):
-        f = lambda xi, xj: _edge_residual(Ri, ti, Rj, tj, rel_R, rel_t, xi, xj)
+        f = lambda xi, xj: _edge_residual(Ri, ti, Rj, tj, rel_R, rel_t,
+                                          xi, xj)
         r = f(zero6, zero6)
         Ji = jax.jacfwd(f, argnums=0)(zero6, zero6)
         Jj = jax.jacfwd(f, argnums=1)(zero6, zero6)
         return r, Ji, Jj
 
-    batched = jax.vmap(residual_and_jac)
-
     ii, jj = graph.edge_i, graph.edge_j
-    # one-hot selects/accumulations instead of row gathers and
-    # scatter-adds (TPU scatter runs ~10x slower than the matmul)
+    n = R.shape[0]
+    if n <= _DENSE_MAX_NODES:
+        # one-hot selects instead of row gathers (TPU row gathers are
+        # slow at small sizes; the (E, n) matmul is free on the MXU)
+        oh_i = jax.nn.one_hot(ii, n, dtype=jnp.float32)
+        oh_j = jax.nn.one_hot(jj, n, dtype=jnp.float32)
+        sel = lambda oh, a: (oh @ a.reshape(n, -1)).reshape(
+            oh.shape[0], *a.shape[1:])
+        Ri, ti, Rj, tj = sel(oh_i, R), oh_i @ t, sel(oh_j, R), oh_j @ t
+    else:
+        Ri, ti, Rj, tj = R[ii], t[ii], R[jj], t[jj]
+    r, Ji, Jj = jax.vmap(residual_and_jac)(
+        Ri, ti, Rj, tj, graph.rel_R, graph.rel_t)
+    w = graph.weight[:, None, None]
+    Hii = w * jnp.einsum("eai,eaj->eij", Ji, Ji)
+    Hjj = w * jnp.einsum("eai,eaj->eij", Jj, Jj)
+    Hij = w * jnp.einsum("eai,eaj->eij", Ji, Jj)
+    wb = graph.weight[:, None]
+    bi = -wb * jnp.einsum("eai,ea->ei", Ji, r)
+    bj = -wb * jnp.einsum("eai,ea->ei", Jj, r)
+    return r, Hii, Hjj, Hij, bi, bj
+
+
+def _solve_dense(graph, n, damping, Hii, Hjj, Hij, bi, bj):
+    """One-hot dense assembly + factorization (small graphs)."""
+    ii, jj = graph.edge_i, graph.edge_j
     oh_i = jax.nn.one_hot(ii, n, dtype=jnp.float32)      # (E, n)
     oh_j = jax.nn.one_hot(jj, n, dtype=jnp.float32)
     oh_hh = jax.nn.one_hot(jnp.concatenate([ii * n + ii, jj * n + jj,
                                             ii * n + jj, jj * n + ii]),
                            n * n, dtype=jnp.float32)     # (4E, n^2)
-    oh_bb = jnp.concatenate([oh_i, oh_j], axis=0)        # (2E, n)
+    blocks = jnp.concatenate(
+        [Hii, Hjj, Hij, Hij.transpose(0, 2, 1)], axis=0)
+    H = jnp.einsum("ec,ez->cz", oh_hh,
+                   blocks.reshape(-1, 36)).reshape(n, n, 6, 6)
+    b = jnp.concatenate([oh_i, oh_j], axis=0).T @ jnp.concatenate(
+        [bi, bj], axis=0)
+    Hm = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+    Hm = Hm + damping * jnp.eye(6 * n)
+    # gauge: clamp node 0
+    gauge = jnp.arange(6 * n) < 6
+    Hm = jnp.where(gauge[:, None] | gauge[None, :], 0.0, Hm)
+    Hm = Hm + jnp.diag(jnp.where(gauge, 1.0, 0.0))
+    bv = b.reshape(-1) * (~gauge)
+    return jnp.linalg.solve(Hm, bv).reshape(n, 6)
 
-    def sel(oh, a):
-        return (oh @ a.reshape(n, -1)).reshape(oh.shape[0], *a.shape[1:])
+
+def _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
+              cg_iters: int, cg_tol: float = 1e-8):
+    """Matrix-free block-Jacobi-preconditioned CG (large graphs).
+
+    H is applied edge-wise: gather the endpoint increments, multiply the
+    6x6 blocks, segment-sum back — O(E) work and memory per matvec."""
+    ii, jj = graph.edge_i, graph.edge_j
+    seg = jnp.concatenate([ii, jj])
+    b = jax.ops.segment_sum(jnp.concatenate([bi, bj]), seg, n)
+    b = b.at[0].set(0.0)                                  # gauge node 0
+
+    def matvec(x):                                        # x: (n, 6)
+        xg = x.at[0].set(0.0)
+        xi, xj = xg[ii], xg[jj]
+        yi = jnp.einsum("eab,eb->ea", Hii, xi) + \
+            jnp.einsum("eab,eb->ea", Hij, xj)
+        yj = jnp.einsum("eba,eb->ea", Hij, xi) + \
+            jnp.einsum("eab,eb->ea", Hjj, xj)
+        y = jax.ops.segment_sum(jnp.concatenate([yi, yj]), seg, n)
+        y = y + damping * xg
+        return y.at[0].set(x[0])                          # identity row 0
+
+    # block-Jacobi preconditioner: inverse of the diagonal 6x6 blocks
+    D = jax.ops.segment_sum(jnp.concatenate([Hii, Hjj]), seg, n)
+    D = D + damping * jnp.eye(6) + 1e-9 * jnp.eye(6)
+    D = D.at[0].set(jnp.eye(6))
+    Dinv = jnp.linalg.inv(D)
+    precond = lambda v: jnp.einsum("nab,nb->na", Dinv, v)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b                      # b - H @ 0
+    z0 = precond(r0)
+    bnorm = jnp.sum(b * b)
+
+    def cond(carry):
+        k, x, r, z, p, rz = carry
+        return (k < cg_iters) & (jnp.sum(r * r) > cg_tol * (bnorm + 1e-30))
+
+    def body(carry):
+        k, x, r, z, p, rz = carry
+        Hp = matvec(p)
+        alpha = rz / (jnp.sum(p * Hp) + 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        p = z + (rz_new / (rz + 1e-30)) * p
+        return k + 1, x, r, z, p, rz_new
+
+    _, x, _, _, _, _ = lax.while_loop(
+        cond, body, (0, x0, r0, z0, z0, jnp.sum(r0 * z0)))
+    return x
+
+
+@f32_matmuls
+def optimize(graph: PoseGraph, n_iters: int = 10,
+             damping: float = 1e-6, solver: str = "auto",
+             cg_iters: int | None = None) -> PoseGraph:
+    """`solver`: "dense" | "cg" | "auto" (dense up to 64 nodes)."""
+    n = graph.R.shape[0]
+    if solver == "auto":
+        solver = "dense" if n <= _DENSE_MAX_NODES else "cg"
+    if cg_iters is None:
+        cg_iters = max(8 * n, 200)
 
     def step(carry, _):
         R, t = carry
-        r, Ji, Jj = batched(sel(oh_i, R), oh_i @ t,
-                            sel(oh_j, R), oh_j @ t,
-                            graph.rel_R, graph.rel_t)
-        w = graph.weight[:, None, None]
-        blocks = jnp.concatenate([
-            w * jnp.einsum("eai,eaj->eij", Ji, Ji),
-            w * jnp.einsum("eai,eaj->eij", Jj, Jj),
-            w * jnp.einsum("eai,eaj->eij", Ji, Jj),
-            w * jnp.einsum("eai,eaj->eij", Jj, Ji)], axis=0)
-        H = jnp.einsum("ec,ez->cz", oh_hh,
-                       blocks.reshape(-1, 36)).reshape(n, n, 6, 6)
-        wb = graph.weight[:, None]
-        bvecs = jnp.concatenate([
-            -wb * jnp.einsum("eai,ea->ei", Ji, r),
-            -wb * jnp.einsum("eai,ea->ei", Jj, r)], axis=0)
-        b = oh_bb.T @ bvecs
-        Hm = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
-        Hm = Hm + damping * jnp.eye(6 * n)
-        # gauge: clamp node 0
-        gauge = jnp.arange(6 * n) < 6
-        Hm = jnp.where(gauge[:, None] | gauge[None, :], 0.0, Hm)
-        Hm = Hm + jnp.diag(jnp.where(gauge, 1.0, 0.0))
-        bv = b.reshape(-1) * (~gauge)
-        dx = jnp.linalg.solve(Hm, bv).reshape(n, 6)
+        r, Hii, Hjj, Hij, bi, bj = _edge_blocks(graph, R, t)
+        if solver == "dense":
+            dx = _solve_dense(graph, n, damping, Hii, Hjj, Hij, bi, bj)
+        else:
+            dx = _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
+                           cg_iters)
         R = exp_so3(dx[:, :3]) @ R
         t = t + dx[:, 3:]
         return (R, t), jnp.sum(r * r)

@@ -107,3 +107,28 @@ def test_huber_resists_outliers():
     # gross outliers wreck the quadratic fit; the Huber kernel shrugs
     assert pose_err(robust) < 0.2 * pose_err(plain)
     assert pose_err(robust) < 0.12
+
+
+def test_lm_scales_to_many_cameras(rng):
+    """C=32 cameras x 4096 points: the Schur assembly must stay linear
+    in P*M*C (the old pair-tensor one-hot was O(P*M^2*C^2) memory)."""
+    C, P, M = 32, 4096, 8
+    X = rng.uniform([-4, -4, 6], [4, 4, 16], (P, 3))
+    Rs = np.tile(np.eye(3), (C, 1, 1)).astype(np.float32)
+    ts = np.stack([[0.2 * c, 0.01 * c, 0] for c in range(C)]
+                  ).astype(np.float32)
+    cam_idx = rng.integers(0, C, (P, M)).astype(np.int32)
+    xc = np.einsum("cij,pj->pci", Rs, X)[
+        np.arange(P)[:, None], cam_idx] + ts[cam_idx]
+    uv = (xc[..., :2] / xc[..., 2:]).astype(np.float32)
+    uv += rng.normal(0, 1e-3, (P, M, 2)).astype(np.float32)
+    prob = BAProblem(jnp.asarray(cam_idx), jnp.asarray(uv),
+                     jnp.ones((P, M), bool))
+    state = BAState(
+        jnp.asarray(Rs),
+        jnp.asarray(ts + np.float32(rng.normal(0, 0.02, ts.shape))),
+        jnp.asarray(X + rng.normal(0, 0.05, X.shape), jnp.float32))
+    c0 = float(cost(state, prob))
+    _, c1 = jax.jit(lambda s, p: run_lm(s, p, n_iters=8))(state, prob)
+    assert np.isfinite(float(c1))
+    assert float(c1) < 0.05 * c0
