@@ -5,8 +5,16 @@ import sys
 # exercised in CI without TPU hardware (SURVEY.md section 4).  NOTE: in this
 # environment the JAX_PLATFORMS env var is ignored by the axon plugin; the
 # config API works, so force the platform through it before any device use.
+#
+# TPU hardware lane: SURF_TPU_TESTS=1 leaves the real backend in place so
+# the Pallas kernels run on the chip (not the interpreter / gather path).
+# Canonical command (one golden + one oracle-parity run on hardware):
+#   SURF_TPU_TESTS=1 python -m pytest tests/test_golden_fixture.py \
+#       tests/test_reference_oracle.py -q -m "not cpu_only"
+_TPU_LANE = os.environ.get("SURF_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_LANE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -15,10 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "cpu_only: skip under the SURF_TPU_TESTS hardware lane")
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _TPU_LANE:
+        return
+    skip = pytest.mark.skip(reason="cpu_only test under SURF_TPU_TESTS=1")
+    for item in items:
+        if "cpu_only" in item.keywords:
+            item.add_marker(skip)
 
 
 REFERENCE_DATA = "/root/reference/data"

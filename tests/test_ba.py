@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +62,7 @@ def test_lm_reduces_cost(rng):
     assert rms < 5e-3
 
 
+@pytest.mark.cpu_only  # needs the 8-device virtual CPU mesh
 def test_distributed_lm_matches_single_device(rng):
     prob, state, truth = _make_problem(rng, n_pts=64)
     mesh = make_mesh(8)

@@ -2,9 +2,12 @@
 
 Locks the end-to-end detector/descriptor/matcher behaviour on the
 reference's own 1280x960 data (SURVEY.md section 4: demo-as-integration-
-test).  The expected values were produced by this framework's oracle-
-validated pipeline; any drift (bucketing, compaction, kernel changes)
-trips this test.
+test).  The expected values (2739/3443 keypoints, mean match score
+0.96497) are REFERENCE-TRUE: the independent native C++ oracle
+(native/surforacle.cpp, a scalar re-derivation of the reference math
+sharing no code with this framework) reproduces them exactly — see
+tests/test_reference_oracle.py for the full cross-check (locations,
+descriptors, Laplacian signs, orientations).
 """
 
 import numpy as np

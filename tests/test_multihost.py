@@ -20,6 +20,9 @@ def _free_port() -> int:
     return port
 
 
+pytestmark = pytest.mark.cpu_only  # needs the 8-device virtual CPU mesh
+
+
 def test_two_process_mesh_psum_and_ba():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = _free_port()

@@ -1,11 +1,15 @@
 """Data-parallel frontend over the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from cuda_surf_tpu import SurfConfig, Surf
 from cuda_surf_tpu.parallel import BatchSurf, make_mesh
+
+
+pytestmark = pytest.mark.cpu_only  # needs the 8-device virtual CPU mesh
 
 
 def test_batch_surf_matches_single(small_image, rng):
