@@ -1,0 +1,73 @@
+"""End-to-end monocular SLAM accuracy evaluation on the ray-marched
+terrain orbit (slam/sequence.py:render_terrain_sequence): VO, loop
+closure, SE(3) pose graph and scale-drift-aware Sim(3) pose graph.
+
+This is the accuracy-contract evidence for BASELINE.md ("ATE on
+standard sequences"): a ground-truthed, genuinely 3D scene with a
+closed-loop trajectory.  Reference has no SLAM backend (SURVEY.md
+section 1) — this measures the north-star capability.
+
+Usage:  python benchmarks/eval_terrain.py [--frames 50] [--loop-gap 10]
+
+Recorded result (50 frames, 200x280, seed 0, CPU or TPU identical
+up to RANSAC float noise):
+    VO ATE             0.161   (orbit radius 0.28)
+    + SE(3) graph      0.093
+    + Sim(3) graph     0.075
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import numpy as np
+
+from cuda_surf_tpu import SurfConfig
+from cuda_surf_tpu.slam import SlamPipeline, ate_rmse, run_sequence
+from cuda_surf_tpu.slam.sequence import render_terrain_sequence
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--height", type=int, default=200)
+    ap.add_argument("--width", type=int, default=280)
+    ap.add_argument("--loop-gap", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    frames, centres, intr = render_terrain_sequence(
+        n_frames=args.frames, h=args.height, w=args.width, seed=args.seed)
+    print(f"rendered {args.frames} frames in {time.time() - t0:.0f}s")
+
+    pipe = SlamPipeline(
+        SurfConfig(noctaves=3, thresh=2.0, max_pts=1024,
+                   candidates_per_octave=1024),
+        intrinsics=intr, loop_detect=True, loop_min_gap=args.loop_gap)
+    t0 = time.time()
+    res = run_sequence(pipe, frames, gt=centres)
+    dt = time.time() - t0
+    print(f"VO+loop-detect: {dt:.0f}s ({1e3 * dt / args.frames:.0f} "
+          f"ms/frame incl. detector)  ATE={res.ate:.4f}  "
+          f"loops={len(pipe.loops)}")
+
+    vo_frames = [dataclasses.replace(f) for f in pipe.frames]
+
+    cost = pipe.optimize_posegraph()
+    ate_se3 = ate_rmse(pipe.trajectory(), centres)
+    print(f"SE(3) pose graph:  cost={cost:.3e}  ATE={ate_se3:.4f}")
+
+    pipe.frames = [dataclasses.replace(f) for f in vo_frames]
+    cost = pipe.optimize_sim3()
+    ate_sim3 = ate_rmse(pipe.trajectory(), centres)
+    print(f"Sim(3) pose graph: cost={cost:.3e}  ATE={ate_sim3:.4f}")
+
+    print("\nsummary: VO %.4f -> SE3 %.4f -> Sim3 %.4f (radius 0.28)"
+          % (res.ate, ate_se3, ate_sim3))
+
+
+if __name__ == "__main__":
+    main()

@@ -167,11 +167,17 @@ def recover_pose(E, x1, x2, mask):
 @f32_matmuls
 def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
                      key: jax.Array, n_hypotheses: int = 512,
-                     inlier_thresh: float = 1e-4) -> TwoViewResult:
+                     inlier_thresh: float = 1e-4,
+                     solver: str = "8pt") -> TwoViewResult:
     """Parallel-hypothesis RANSAC for E from normalized correspondences.
 
     x1, x2: (K, 2) normalized camera coordinates; valid: (K,) mask.
     inlier_thresh: squared Sampson distance threshold (normalized coords).
+    solver: "8pt" (least-squares minimal fit) or "5pt" (Nister minimal
+    solver, geometry/fivepoint.py) — 5pt needs only 5 all-inlier rows
+    per sample (P = w^5 vs w^8), markedly stronger at high outlier
+    rates; each sample yields up to 10 essential matrices, all scored
+    in the same dense pass.
     """
     k = x1.shape[0]
     count = jnp.maximum(valid.sum(), 1)
@@ -179,26 +185,45 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
     # compaction, not argsort: a (K,) sort costs ~1 ms on TPU)
     from ..types import compact
     _, _, order = compact(valid, k, jnp.arange(k, dtype=jnp.int32))
-    raw = jax.random.randint(key, (n_hypotheses, 8), 0, jnp.iinfo(jnp.int32).max)
-    sample = order[raw % count]  # (H, 8) indices of valid rows
+    n_pts = 8 if solver == "8pt" else 5
+    raw = jax.random.randint(key, (n_hypotheses, n_pts), 0,
+                             jnp.iinfo(jnp.int32).max)
+    sample = order[raw % count]  # (H, n_pts) indices of valid rows
 
-    def solve_one(idx):
-        m = jnp.ones(8, x1.dtype)
-        return _eight_point(x1[idx], x2[idx], m)
+    if solver == "8pt":
+        def solve_one(idx):
+            m = jnp.ones(8, x1.dtype)
+            return _eight_point(x1[idx], x2[idx], m)
 
-    Es = jax.vmap(solve_one)(sample)                       # (H, 3, 3)
-    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, K)
+        Es = jax.vmap(solve_one)(sample)                   # (H, 3, 3)
+        cand_ok = jnp.ones(Es.shape[0], bool)
+    else:
+        from .fivepoint import five_point
+        Es, cand_ok = five_point(x1[sample], x2[sample])   # (H, C, 3, 3)
+        Es = Es.reshape(-1, 3, 3)
+        cand_ok = cand_ok.reshape(-1)
+    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H*, K)
     inl = (errs < inlier_thresh) & valid[None, :]
-    scores = inl.sum(1)
+    scores = jnp.where(cand_ok, inl.sum(1), -1)
     best = jnp.argmax(scores)
 
     # Guided refits on the consensus set (two rounds of least-squares on
-    # inliers, re-scoring after each) — recovers accuracy the 8-sample
-    # minimal fit can't reach in float32.
-    E, inliers = Es[best], inl[best]
-    n_best = scores[best]
+    # inliers, re-scoring after each) — recovers accuracy the minimal
+    # fit can't reach in float32.  Every acceptance decision scores the
+    # MANIFOLD-PROJECTED candidate: an unprojected F can rack up
+    # Sampson support that evaporates when projected (noisy or
+    # quasi-planar data moves F far from the essential manifold), and
+    # accepting on the unprojected score used to hand recover_pose a
+    # geometry 30-60 degrees off.  Hypotheses still score unprojected
+    # (a per-hypothesis 3x3 SVD is TPU-hostile); only the winner and
+    # the two refits pay the projection.
+    E = project_essential(Es[best])
+    err = sampson_error(E, x1, x2)
+    inliers = (err < inlier_thresh) & valid
+    n_best = inliers.sum()
     for _ in range(2):
-        E_new = _eight_point(x1, x2, inliers.astype(x1.dtype))
+        E_new = project_essential(
+            _eight_point(x1, x2, inliers.astype(x1.dtype)))
         err = sampson_error(E_new, x1, x2)
         inl_new = (err < inlier_thresh) & valid
         use = inl_new.sum() >= n_best
@@ -206,9 +231,6 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
         inliers = jnp.where(use, inl_new, inliers)
         n_best = jnp.maximum(inl_new.sum(), n_best)
 
-    # single manifold projection of the winner (hypotheses score on the
-    # unprojected F; a per-hypothesis 3x3 SVD is TPU-hostile)
-    E = project_essential(E)
     R, t, X = recover_pose(E, x1, x2, inliers)
     return TwoViewResult(E=E, R=R, t=t, inliers=inliers,
                          n_inliers=inliers.sum().astype(jnp.int32),

@@ -54,6 +54,9 @@ def save_pipeline(path: str, pipe: SlamPipeline) -> None:
             np.int64)
     arrays["rng_key"] = np.asarray(pipe.key)  # legacy uint32 PRNG key
     arrays["frame_depths"] = np.asarray(pipe.frame_depths, np.float64)
+    if pipe._prev_kp_depth is not None:
+        arrays["prev_kp_depth"] = np.asarray(pipe._prev_kp_depth,
+                                             np.float64)
     if pipe._prev is not None:
         kps, desc = pipe._prev
         leaves, _ = jax.tree_util.tree_flatten(kps)
@@ -128,6 +131,8 @@ def load_pipeline(path: str, pipe: SlamPipeline) -> SlamPipeline:
     pipe._prev_depth = header["prev_depth"]
     if "frame_depths" in data:
         pipe.frame_depths = [float(d) for d in data["frame_depths"]]
+    if "prev_kp_depth" in data:
+        pipe._prev_kp_depth = data["prev_kp_depth"]
     treedef = _kp_treedef()
     if header["has_prev"]:
         n = 0

@@ -102,14 +102,18 @@ class LoopDetector:
         out = []
         for i in self._candidates(j):
             kpi, di = self._frames[i]
-            self.key, sub = jax.random.split(self.key)
+            # deterministic per-pair key: the verdict on a pair (i, j)
+            # must not depend on how many other verifications ran
+            # before it (prescreen vs exhaustive query order)
+            sub = jax.random.fold_in(self.key, i * 100003 + j)
             res = self._track(kpi, di, kpj, dj, self.intr, sub)
             self.n_verifications += 1
             n = int(res.n_inliers)
             if n >= self.min_inliers:
                 inl = np.asarray(res.inliers)
                 depths = np.asarray(res.points3d)[:, 2]
-                med = float(np.median(depths[inl])) if inl.any() else 1.0
+                pos = inl & (depths > 0)   # cheirality-consistent only
+                med = float(np.median(depths[pos])) if pos.any() else 1.0
                 out.append(LoopClosure(
                     i=i, j=j, R=np.asarray(res.R, np.float64),
                     t=np.asarray(res.t, np.float64), n_inliers=n,
@@ -119,17 +123,19 @@ class LoopDetector:
 
 def optimize_with_loops(frames, closures: List[LoopClosure],
                         n_iters: int = 15, loop_weight: float = 2.0,
-                        max_rot: float = 0.15, max_trans: float = 0.5,
-                        frame_depths=None):
+                        max_rot: float = 0.6, max_trans: float = 3.0,
+                        frame_depths=None, robust_delta: float = 0.1):
     """Pose-graph optimization over a frame chain plus loop edges.
 
     `frames`: list with .R (world->cam) and .t attributes (the
     pipeline's FrameState).  Loop translation directions are unit-norm
     (monocular); each is scaled to the currently-estimated baseline
-    between its endpoints.  Loop edges inconsistent with the current
-    estimate beyond (max_rot radians, max_trans x baseline) are rejected
-    — near-zero-baseline revisits make essential-matrix poses
-    unreliable, the standard robust-acceptance gate.
+    between its endpoints.  Only GROSSLY inconsistent loop edges are
+    gated a priori (max_rot radians / max_trans x baseline vs the chain
+    estimate): a genuine closure after a long drifted chain is
+    *supposed* to disagree with the estimate — that disagreement is the
+    signal — so the gates are wide and outlier suppression is left to
+    the Huber IRLS reweighting (`robust_delta`) inside the optimizer.
 
     With `frame_depths` (per-frame median scene depth in the VO's world
     scale, tracked by the pipeline), the loop translation scale is
@@ -187,6 +193,8 @@ def optimize_with_loops(frames, closures: List[LoopClosure],
         rel_R=jnp.asarray(np.stack(rel_R), jnp.float32),
         rel_t=jnp.asarray(np.stack(rel_t), jnp.float32),
         weight=jnp.asarray(weight, jnp.float32))
-    out, costs = optimize(graph, n_iters=n_iters)
+    is_loop = jnp.arange(len(edge_i)) >= (n - 1)
+    out, costs = optimize(graph, n_iters=n_iters,
+                          robust_delta=robust_delta, robust_mask=is_loop)
     return (np.asarray(out.R), np.asarray(out.t),
             float(np.asarray(costs)[-1]))

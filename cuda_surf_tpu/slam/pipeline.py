@@ -94,11 +94,14 @@ class SlamPipeline:
         self.frames: List[FrameState] = []
         self._prev = None          # (kps, desc)
         self._prev_depth = None    # median depth of last pair's landmarks
+        self._prev_kp_depth = None  # (slots,) global-unit depths on the
+        #                             previous frame's keypoint slots
 
     def reset(self):
         self.frames.clear()
         self._prev = None
         self._prev_depth = None
+        self._prev_kp_depth = None
         self.loops = []
         self.frame_depths = []
         self.map = None
@@ -138,20 +141,46 @@ class SlamPipeline:
             R_rel = np.asarray(res.R, np.float64)
             t_rel = np.asarray(res.t, np.float64)
 
-        # Monocular scale propagation: ratio of median triangulated depth
-        # between consecutive pairs (unit scale for the first pair).
+        # Monocular scale propagation.  Preferred: per-point depth ratio
+        # over the PHYSICAL points shared by consecutive pairs — pair
+        # (k-2, k-1) left global-unit depths on frame k-1's keypoint
+        # slots; pair (k-1, k) re-triangulates the same slots in its own
+        # local unit, and the median slot-wise ratio is exactly the
+        # local-to-global scale.  Fallback (too few shared points):
+        # whole-pair median-depth ratio, which is biased when the view
+        # direction (and hence the visible depth distribution) changes.
+        # Cheirality-consistent inliers only: Sampson inliers can
+        # triangulate behind a camera, and one negative median would
+        # flip the propagated scale sign for the rest of the sequence.
         inl = np.asarray(res.inliers)
-        depths = np.asarray(res.points3d)[:, 2]
-        med_depth = float(np.median(depths[inl])) if inl.any() else 1.0
-        if self._prev_depth is not None and med_depth > 1e-6:
-            scale = self._prev_depth / med_depth
-        else:
-            scale = 1.0
-        self._prev_depth = med_depth * scale
+        X3 = np.asarray(res.points3d)
+        z1 = X3[:, 2]                       # depth in cam_{k-1}, pair units
+        pos = inl & (z1 > 1e-9)
+        med_loc = float(np.median(z1[pos])) if pos.any() else 1.0
+        scale = 1.0
+        d_prev = self._prev_kp_depth
+        shared = (pos & np.isfinite(d_prev)) if d_prev is not None else None
+        if shared is not None and shared.sum() >= 6:
+            scale = float(np.median(d_prev[shared] / z1[shared]))
+        elif self._prev_depth is not None and med_loc > 1e-6:
+            scale = self._prev_depth / med_loc
+        med_depth = med_loc * scale         # global units
+        self._prev_depth = med_depth
+        # leave global-unit depths on the CURRENT frame's matched slots
+        # for the next pair (depth in cam_k: z of R_rel X + t_rel)
+        z2 = X3 @ np.asarray(res.R, np.float64)[2] + float(res.t[2])
+        idx = np.asarray(res.matches.index)
+        d_cur = np.full(int(kps.x.shape[0]), np.nan)
+        ok = pos & (z2 > 1e-9) & (idx >= 0) & (idx < d_cur.shape[0])
+        d_cur[idx[ok]] = scale * z2[ok]
+        self._prev_kp_depth = d_cur
 
         prev = self.frames[-1]
         if n_inl < self.min_inliers:
-            # tracking failure: keep previous pose (constant model)
+            # tracking failure: keep previous pose (constant model);
+            # the failed pair's triangulation is garbage, so drop the
+            # per-slot depths rather than propagate them
+            self._prev_kp_depth = None
             R_w, t_w = prev.R, prev.t
         else:
             R_w = R_rel @ prev.R
@@ -199,4 +228,22 @@ class SlamPipeline:
                                            frame_depths=self.frame_depths)
         for i, f in enumerate(self.frames):
             self.frames[i] = dataclasses.replace(f, R=Ro[i], t=to[i])
+        return cost
+
+    def optimize_sim3(self, n_iters: int = 12) -> float:
+        """Scale-drift-aware Sim(3) pose graph over the trajectory (the
+        monocular loop-closure correction: loop edges carry the measured
+        relative scale, so accumulated scale drift is distributed around
+        the cycle).  Updates frame poses with the scale baked into the
+        translations (t <- t/s, preserving camera centres in one
+        consistent global scale).  Returns the final summed residual."""
+        from .sim3graph import optimize_with_loops_sim3
+        if len(self.frames) < 3 or not self.loops:
+            return 0.0
+        s, Ro, to, _, cost = optimize_with_loops_sim3(
+            self.frames, self.loops, self.frame_depths, n_iters=n_iters,
+            min_gap=self.loop_min_gap)
+        for i, f in enumerate(self.frames):
+            self.frames[i] = dataclasses.replace(
+                f, R=Ro[i], t=to[i] / max(float(s[i]), 1e-12))
         return cost

@@ -92,7 +92,10 @@ def _edge_blocks(graph: PoseGraph, R, t):
 
 
 def _solve_dense(graph, n, damping, Hii, Hjj, Hij, bi, bj):
-    """One-hot dense assembly + factorization (small graphs)."""
+    """One-hot dense assembly + factorization (small graphs).
+    Block dimension d is read off the edge blocks (6 for SE(3),
+    7 for the Sim(3) graph in sim3graph.py)."""
+    d = Hii.shape[-1]
     ii, jj = graph.edge_i, graph.edge_j
     oh_i = jax.nn.one_hot(ii, n, dtype=jnp.float32)      # (E, n)
     oh_j = jax.nn.one_hot(jj, n, dtype=jnp.float32)
@@ -102,17 +105,17 @@ def _solve_dense(graph, n, damping, Hii, Hjj, Hij, bi, bj):
     blocks = jnp.concatenate(
         [Hii, Hjj, Hij, Hij.transpose(0, 2, 1)], axis=0)
     H = jnp.einsum("ec,ez->cz", oh_hh,
-                   blocks.reshape(-1, 36)).reshape(n, n, 6, 6)
+                   blocks.reshape(-1, d * d)).reshape(n, n, d, d)
     b = jnp.concatenate([oh_i, oh_j], axis=0).T @ jnp.concatenate(
         [bi, bj], axis=0)
-    Hm = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
-    Hm = Hm + damping * jnp.eye(6 * n)
+    Hm = H.transpose(0, 2, 1, 3).reshape(d * n, d * n)
+    Hm = Hm + damping * jnp.eye(d * n)
     # gauge: clamp node 0
-    gauge = jnp.arange(6 * n) < 6
+    gauge = jnp.arange(d * n) < d
     Hm = jnp.where(gauge[:, None] | gauge[None, :], 0.0, Hm)
     Hm = Hm + jnp.diag(jnp.where(gauge, 1.0, 0.0))
     bv = b.reshape(-1) * (~gauge)
-    return jnp.linalg.solve(Hm, bv).reshape(n, 6)
+    return jnp.linalg.solve(Hm, bv).reshape(n, d)
 
 
 def _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
@@ -120,13 +123,14 @@ def _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
     """Matrix-free block-Jacobi-preconditioned CG (large graphs).
 
     H is applied edge-wise: gather the endpoint increments, multiply the
-    6x6 blocks, segment-sum back — O(E) work and memory per matvec."""
+    dxd blocks, segment-sum back — O(E) work and memory per matvec."""
+    d = Hii.shape[-1]
     ii, jj = graph.edge_i, graph.edge_j
     seg = jnp.concatenate([ii, jj])
     b = jax.ops.segment_sum(jnp.concatenate([bi, bj]), seg, n)
     b = b.at[0].set(0.0)                                  # gauge node 0
 
-    def matvec(x):                                        # x: (n, 6)
+    def matvec(x):                                        # x: (n, d)
         xg = x.at[0].set(0.0)
         xi, xj = xg[ii], xg[jj]
         yi = jnp.einsum("eab,eb->ea", Hii, xi) + \
@@ -137,10 +141,10 @@ def _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
         y = y + damping * xg
         return y.at[0].set(x[0])                          # identity row 0
 
-    # block-Jacobi preconditioner: inverse of the diagonal 6x6 blocks
+    # block-Jacobi preconditioner: inverse of the diagonal dxd blocks
     D = jax.ops.segment_sum(jnp.concatenate([Hii, Hjj]), seg, n)
-    D = D + damping * jnp.eye(6) + 1e-9 * jnp.eye(6)
-    D = D.at[0].set(jnp.eye(6))
+    D = D + damping * jnp.eye(d) + 1e-9 * jnp.eye(d)
+    D = D.at[0].set(jnp.eye(d))
     Dinv = jnp.linalg.inv(D)
     precond = lambda v: jnp.einsum("nab,nb->na", Dinv, v)
 
@@ -169,11 +173,30 @@ def _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
     return x
 
 
+def robust_factors(r, robust_delta, robust_mask):
+    """Huber IRLS edge weights: 1 inside `robust_delta`, delta/||r||
+    outside — linearizes the loss for gross-residual edges so one bad
+    loop closure cannot hijack the solution.  `robust_mask` restricts
+    reweighting (loop edges only: odometry residuals near a correction
+    are LEGITIMATELY large mid-optimization, and downweighting them
+    stalls convergence)."""
+    rnorm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-20)
+    f = jnp.minimum(1.0, robust_delta / rnorm)
+    if robust_mask is not None:
+        f = jnp.where(robust_mask, f, 1.0)
+    return f
+
+
 @f32_matmuls
 def optimize(graph: PoseGraph, n_iters: int = 10,
              damping: float = 1e-6, solver: str = "auto",
-             cg_iters: int | None = None) -> PoseGraph:
-    """`solver`: "dense" | "cg" | "auto" (dense up to 64 nodes)."""
+             cg_iters: int | None = None,
+             robust_delta: float | None = None,
+             robust_mask: jnp.ndarray | None = None) -> PoseGraph:
+    """`solver`: "dense" | "cg" | "auto" (dense up to 64 nodes).
+    `robust_delta`: Huber IRLS threshold on the per-edge residual norm
+    (None = pure least squares); `robust_mask` (E,) bool restricts the
+    reweighting to the marked edges."""
     n = graph.R.shape[0]
     if solver == "auto":
         solver = "dense" if n <= _DENSE_MAX_NODES else "cg"
@@ -183,6 +206,13 @@ def optimize(graph: PoseGraph, n_iters: int = 10,
     def step(carry, _):
         R, t = carry
         r, Hii, Hjj, Hij, bi, bj = _edge_blocks(graph, R, t)
+        if robust_delta is not None:
+            f = robust_factors(r, robust_delta, robust_mask)
+            Hii = f[:, None, None] * Hii
+            Hjj = f[:, None, None] * Hjj
+            Hij = f[:, None, None] * Hij
+            bi = f[:, None] * bi
+            bj = f[:, None] * bj
         if solver == "dense":
             dx = _solve_dense(graph, n, damping, Hii, Hjj, Hij, bi, bj)
         else:

@@ -72,3 +72,83 @@ def test_large_graph_cg(rng):
     assert np.isfinite(float(costs[-1]))
     assert float(costs[-1]) < 1e-3 * float(costs[0])
     assert err1 < 0.05 * err0
+
+
+# ---------------------------------------------------------------- Sim(3)
+
+def _sim3_circle(n, n_loops, rng):
+    """Ground-truth Sim(3) nodes on a circle + exact edge measurements."""
+    from cuda_surf_tpu.slam.sim3graph import Sim3Graph, _compose, _inverse
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    Rs, ts, ss = [], [], []
+    for k in range(n):
+        c, s = np.cos(th[k]), np.sin(th[k])
+        Rs.append(np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]]))
+        ts.append(np.array([5 * c, 5 * s, 0.1 * k / n]))
+        ss.append(1.0)
+    Rs, ts, ss = np.stack(Rs), np.stack(ts), np.array(ss)
+    ei = list(range(n - 1)) + list(rng.integers(0, n // 2, n_loops))
+    ej = list(range(1, n)) + [i + n // 2 for i in ei[n - 1:]]
+    rel = [
+        _compose(ss[j], Rs[j], ts[j], *_inverse(ss[i], Rs[i], ts[i]))
+        for i, j in zip(ei, ej)
+    ]
+    g = Sim3Graph(
+        s=jnp.asarray(ss, jnp.float32),
+        R=jnp.asarray(Rs, jnp.float32), t=jnp.asarray(ts, jnp.float32),
+        edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+        rel_s=jnp.asarray([r[0] for r in rel], jnp.float32),
+        rel_R=jnp.asarray(np.stack([r[1] for r in rel]), jnp.float32),
+        rel_t=jnp.asarray(np.stack([r[2] for r in rel]), jnp.float32),
+        weight=jnp.ones((len(ei), 3), jnp.float32))
+    return g, Rs, ts, ss
+
+
+def test_sim3_converges_from_perturbation(rng):
+    from cuda_surf_tpu.slam import sim3graph
+    g, Rs, ts, ss = _sim3_circle(14, 3, rng)
+    # perturb all but node 0 (the gauge)
+    pert_s = np.ones(14); pert_s[1:] = np.exp(rng.normal(0, 0.2, 13))
+    dR = np.asarray(exp_so3(jnp.asarray(
+        np.concatenate([np.zeros((1, 3)), rng.normal(0, 0.05, (13, 3))]),
+        jnp.float32)))
+    dt = np.concatenate([np.zeros((1, 3)), rng.normal(0, 0.3, (13, 3))])
+    gp = g._replace(s=jnp.asarray(ss * pert_s, jnp.float32),
+                    R=jnp.asarray(np.einsum("nij,njk->nik", dR, Rs),
+                                  jnp.float32),
+                    t=jnp.asarray(ts + dt, jnp.float32))
+    go, costs = jax.jit(lambda g: sim3graph.optimize(g, n_iters=10))(gp)
+    assert float(costs[-1]) < 1e-6 * max(float(costs[0]), 1e-12)
+    np.testing.assert_allclose(np.asarray(go.s), ss, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(go.t), ts, atol=2e-2)
+
+
+def test_sim3_corrects_scale_drift(rng):
+    """Monocular scale drift: initial scales decay gamma^k along the
+    chain; a single loop edge carrying the true relative scale must
+    pull every node back (the SE(3) graph cannot absorb this)."""
+    from cuda_surf_tpu.slam import sim3graph
+    n = 20
+    g, Rs, ts, ss = _sim3_circle(n, 1, np.random.default_rng(5))
+    gamma = 0.97
+    drift = gamma ** np.arange(n)
+    gp = g._replace(s=jnp.asarray(ss * drift, jnp.float32))
+    go, costs = jax.jit(lambda g: sim3graph.optimize(g, n_iters=12))(gp)
+    assert float(costs[-1]) < 1e-6
+    np.testing.assert_allclose(np.asarray(go.s), ss, atol=5e-3)
+    cen = sim3graph.centres(go)
+    cen_true = -np.einsum("nij,ni->nj", Rs.transpose(0, 2, 1), ts)
+    np.testing.assert_allclose(cen, cen_true, atol=2e-2)
+
+
+def test_sim3_dense_cg_agree(rng):
+    from cuda_surf_tpu.slam import sim3graph
+    g, Rs, ts, ss = _sim3_circle(12, 2, rng)
+    gp = g._replace(s=g.s * jnp.asarray(
+        np.exp(np.random.default_rng(2).normal(0, 0.1, 12)), jnp.float32))
+    gd, _ = jax.jit(lambda g: sim3graph.optimize(g, n_iters=6,
+                                                 solver="dense"))(gp)
+    gc, _ = jax.jit(lambda g: sim3graph.optimize(g, n_iters=6,
+                                                 solver="cg"))(gp)
+    np.testing.assert_allclose(np.asarray(gd.t), np.asarray(gc.t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gd.s), np.asarray(gc.s), atol=1e-4)

@@ -211,3 +211,54 @@ def test_kitti_loaders(tmp_path):
     times.write_text("0.0\n0.103\n0.207\n")
     t = load_kitti_times(str(times))
     assert t.shape == (3,) and abs(t[1] - 0.103) < 1e-12
+
+
+# ------------------------------------------------- terrain (3D scene)
+
+@pytest.fixture(scope="module")
+def terrain_run():
+    """One shared VO+loop-detect run over the ray-marched 3D terrain
+    orbit (render_terrain_sequence) — the WELL-POSED sequence for
+    essential-matrix VO (the plane fixture above is degenerate;
+    VERDICT round-1 item 10)."""
+    from cuda_surf_tpu.slam.sequence import render_terrain_sequence
+    frames, centres, intr = render_terrain_sequence(
+        n_frames=12, h=200, w=280, seed=0)
+    pipe = _pipe(intrinsics=intr, loop_detect=True, loop_min_gap=6)
+    res = run_sequence(pipe, frames, gt=centres)
+    return pipe, res, centres
+
+
+def test_terrain_vo_ate(terrain_run):
+    pipe, res, centres = terrain_run
+    assert (res.inliers[1:] > 60).all(), res.inliers
+    # measured 0.025 on a 0.28-radius orbit (5pt solver + manifold-
+    # scored refits + shared-point scale propagation); regression bound
+    assert res.ate < 0.06, res.ate
+
+
+def test_terrain_loops_and_graphs(terrain_run):
+    import dataclasses
+    from cuda_surf_tpu.slam import ate_rmse
+    pipe, res, centres = terrain_run
+    assert len(pipe.loops) >= 1
+    assert all(lc.j - lc.i >= 6 for lc in pipe.loops)
+    vo_frames = [dataclasses.replace(f) for f in pipe.frames]
+    try:
+        cost = pipe.optimize_posegraph()
+        assert np.isfinite(cost)
+        ate_se3 = ate_rmse(pipe.trajectory(), centres)
+        assert ate_se3 < max(1.5 * res.ate, 0.08), ate_se3
+
+        pipe.frames = [dataclasses.replace(f) for f in vo_frames]
+        cost = pipe.optimize_sim3()
+        assert np.isfinite(cost)
+        ate_sim3 = ate_rmse(pipe.trajectory(), centres)
+        # Sim(3) pays off when accumulated scale drift dominates (the
+        # 50-frame orbit: 0.161 -> 0.075, benchmarks/eval_terrain.py);
+        # on a short low-drift run its loop-edge scale measurements
+        # (median-depth ratios, ~5-10% viewpoint noise) add more than
+        # they fix — this bound only guards against blow-up
+        assert ate_sim3 < max(3.0 * res.ate, 0.12), ate_sim3
+    finally:
+        pipe.frames = vo_frames
