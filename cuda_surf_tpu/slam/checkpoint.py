@@ -70,6 +70,8 @@ def save_pipeline(path: str, pipe: SlamPipeline) -> None:
         arrays["loop_t"] = np.stack([lc.t for lc in pipe.loops])
         arrays["loop_depth"] = np.asarray(
             [lc.med_depth for lc in pipe.loops], np.float64)
+        arrays["loop_depth_j"] = np.asarray(
+            [lc.med_depth_j for lc in pipe.loops], np.float64)
     if pipe.map is not None:
         m = pipe.map
         header["map_next_track"] = m._next_track
@@ -144,10 +146,12 @@ def load_pipeline(path: str, pipe: SlamPipeline) -> SlamPipeline:
         pipe._prev = (kps, jnp.asarray(data["prev_desc"]))
     for k in range(header.get("n_loops", 0)):
         ijn = data["loop_ij_n"][k]
+        dj = (float(data["loop_depth_j"][k]) if "loop_depth_j" in data
+              else 0.0)  # pre-field checkpoints: sim3 falls back to med_i
         pipe.loops.append(LoopClosure(
             i=int(ijn[0]), j=int(ijn[1]), R=data["loop_R"][k],
             t=data["loop_t"][k], n_inliers=int(ijn[2]),
-            med_depth=float(data["loop_depth"][k])))
+            med_depth=float(data["loop_depth"][k]), med_depth_j=dj))
     if header.get("has_map"):
         from .mapping import Keyframe, KeyframeMap
         pipe.map = KeyframeMap(pipe.intr, window=pipe.window_ba or 5)

@@ -32,8 +32,12 @@ class LoopClosure(NamedTuple):
     R: np.ndarray           # relative rotation cam_i -> cam_j
     t: np.ndarray           # unit-norm relative translation
     n_inliers: int
-    med_depth: float        # median inlier depth in the pair's
-                            # unit-baseline gauge (for scale recovery)
+    med_depth: float        # median inlier depth in cam_i, in the
+                            # pair's unit-baseline gauge (scale recovery)
+    med_depth_j: float = 0.0  # same points' median depth in cam_j —
+                            # the i/j ratio cancels genuine scene-depth
+                            # variation out of the Sim(3) relative-scale
+                            # measurement (see optimize_with_loops_sim3)
 
 
 class LoopDetector:
@@ -111,13 +115,17 @@ class LoopDetector:
             n = int(res.n_inliers)
             if n >= self.min_inliers:
                 inl = np.asarray(res.inliers)
-                depths = np.asarray(res.points3d)[:, 2]
-                pos = inl & (depths > 0)   # cheirality-consistent only
-                med = float(np.median(depths[pos])) if pos.any() else 1.0
+                X3 = np.asarray(res.points3d)
+                R_l = np.asarray(res.R, np.float64)
+                z_i = X3[:, 2]
+                z_j = X3 @ R_l[2] + float(res.t[2])
+                pos = inl & (z_i > 0) & (z_j > 0)  # cheirality-consistent
+                med = float(np.median(z_i[pos])) if pos.any() else 1.0
+                med_j = float(np.median(z_j[pos])) if pos.any() else 1.0
                 out.append(LoopClosure(
-                    i=i, j=j, R=np.asarray(res.R, np.float64),
+                    i=i, j=j, R=R_l,
                     t=np.asarray(res.t, np.float64), n_inliers=n,
-                    med_depth=med))
+                    med_depth=med, med_depth_j=med_j))
         return out
 
 

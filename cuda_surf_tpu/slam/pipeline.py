@@ -155,7 +155,8 @@ class SlamPipeline:
         inl = np.asarray(res.inliers)
         X3 = np.asarray(res.points3d)
         z1 = X3[:, 2]                       # depth in cam_{k-1}, pair units
-        pos = inl & (z1 > 1e-9)
+        z2 = X3 @ np.asarray(res.R, np.float64)[2] + float(res.t[2])
+        pos = inl & (z1 > 1e-9) & (z2 > 1e-9)
         med_loc = float(np.median(z1[pos])) if pos.any() else 1.0
         scale = 1.0
         d_prev = self._prev_kp_depth
@@ -164,14 +165,22 @@ class SlamPipeline:
             scale = float(np.median(d_prev[shared] / z1[shared]))
         elif self._prev_depth is not None and med_loc > 1e-6:
             scale = self._prev_depth / med_loc
-        med_depth = med_loc * scale         # global units
+        # frame_depths semantics: fd[k] = median scene depth seen FROM
+        # camera k, in chain-gauge units — the quantity the Sim(3)
+        # loop-edge scale recovery divides by (sim3graph.py).  z2 is
+        # the cam_k depth of the pair's points; the first pair also
+        # backfills fd[0] (constructed as a placeholder 1.0, which
+        # used to corrupt every loop edge anchored at frame 0 by the
+        # full depth/baseline ratio, ~20x here).
+        med_depth = (float(np.median(z2[pos])) if pos.any() else 1.0) * scale
+        if len(self.frames) == 1 and pos.any():
+            self.frame_depths[0] = med_loc * scale
         self._prev_depth = med_depth
         # leave global-unit depths on the CURRENT frame's matched slots
-        # for the next pair (depth in cam_k: z of R_rel X + t_rel)
-        z2 = X3 @ np.asarray(res.R, np.float64)[2] + float(res.t[2])
+        # for the next pair
         idx = np.asarray(res.matches.index)
         d_cur = np.full(int(kps.x.shape[0]), np.nan)
-        ok = pos & (z2 > 1e-9) & (idx >= 0) & (idx < d_cur.shape[0])
+        ok = pos & (idx >= 0) & (idx < d_cur.shape[0])
         d_cur[idx[ok]] = scale * z2[ok]
         self._prev_kp_depth = d_cur
 

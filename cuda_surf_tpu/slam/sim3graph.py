@@ -186,10 +186,16 @@ def optimize_with_loops_sim3(frames, closures, frame_depths,
         fd_j = float(frame_depths[lc.j]) if lc.j < len(frame_depths) else 0.0
         if fd_i <= 1e-9 or fd_j <= 1e-9 or lc.med_depth <= 1e-9:
             continue
-        # unit_k = physical length of one local unit at node k;
-        # fd_k = depth_phys/unit_k for the shared scene, so
-        # s_m = unit_i/unit_j = fd_j/fd_i
-        s_m = fd_j / fd_i
+        # unit_k = physical length of one chain-gauge unit at step k.
+        # fd_k = true_depth_k/unit_k; the closure's OWN triangulation
+        # gives the same scene in pair units (|t|=1):
+        # med_i = true_depth_i/b_phys, med_j = true_depth_j/b_phys.
+        # s_m = unit_i/unit_j = (fd_j * med_i) / (fd_i * med_j) —
+        # the med_i/med_j factor cancels genuine scene-depth variation
+        # between the two viewpoints out of the drift measurement
+        # (plain fd_j/fd_i carries that ~5-10% variation as noise).
+        med_j = lc.med_depth_j if lc.med_depth_j > 1e-9 else lc.med_depth
+        s_m = (fd_j * lc.med_depth) / (fd_i * med_j)
         b_i = fd_i / lc.med_depth  # baseline in frame-i units
         edge_i.append(lc.i)
         edge_j.append(lc.j)
