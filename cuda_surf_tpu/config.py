@@ -54,6 +54,12 @@ class SurfConfig:
     # and the XLA gather path elsewhere; "pallas" / "gather" force one;
     # "interpret" runs the Pallas kernel in interpreter mode (CPU testing).
     wavelet_method: str = "auto"
+    # Subpixel-fit backend: "dense" solves the quadratic fit at every
+    # pyramid position (4-value maps, walk gathers 4 floats/candidate);
+    # "sparse" gathers the 19 stencil neighbours per candidate and
+    # solves only there (no per-position maps/writes).  Numerically
+    # identical; a hardware A/B knob (ops/extrema.py).
+    detect_fit: str = "dense"
 
     @property
     def max_candidates(self) -> int:

@@ -106,22 +106,12 @@ def fit_stencils(resp: jnp.ndarray) -> jnp.ndarray:
         [g_s, g_r, g_c, h_ss, h_rr, h_cc, h_sr, h_sc, h_rc, c], axis=-1)
 
 
-def fit_dense(resp: jnp.ndarray):
-    """Dense quadratic fit solved at every pyramid position.
-
-    -> (ms, oh, ow, 4) float32 [off_s, off_r, off_c, peak_strength]:
-    the same partial-pivot Gaussian elimination as :func:`solve3`
-    evaluated elementwise over the whole pyramid, so the interpolation
-    walk only gathers 4 precomputed values per candidate instead of 10
-    stencils + a batched solve.  Border/end-scale values are garbage
-    (never sampled); singular fits give inf/nan (filtered downstream).
-    """
-    st = fit_stencils(resp)
-    g_s, g_r, g_c = st[..., 0], st[..., 1], st[..., 2]
-    h_ss, h_rr, h_cc = st[..., 3], st[..., 4], st[..., 5]
-    h_sr, h_sc, h_rc = st[..., 6], st[..., 7], st[..., 8]
-    center = st[..., 9]
-
+def _fit_closed_form(g_s, g_r, g_c, h_ss, h_rr, h_cc, h_sr, h_sc, h_rc,
+                     center):
+    """Elementwise partial-pivot 3x3 solve + peak strength from fit
+    stencil values (any broadcastable shapes).  Same math as
+    :func:`solve3` (solveLinearSystem, surfd.cu:835-887) with the pivot
+    selects evaluated per element."""
     # rows of [H | -g]
     rows = [
         [h_ss, h_sr, h_sc, -g_s],
@@ -153,7 +143,78 @@ def fit_dense(resp: jnp.ndarray):
     x0 = (r0[3] - r0[1] * x1 - r0[2] * x2) / r0[0]
     strength = center + jnp.float32(0.5) * (
         x0 * g_s + x1 * g_r + x2 * g_c)
+    return x0, x1, x2, strength
+
+
+def fit_dense(resp: jnp.ndarray):
+    """Dense quadratic fit solved at every pyramid position.
+
+    -> (ms, oh, ow, 4) float32 [off_s, off_r, off_c, peak_strength]:
+    the same partial-pivot Gaussian elimination as :func:`solve3`
+    evaluated elementwise over the whole pyramid, so the interpolation
+    walk only gathers 4 precomputed values per candidate instead of 10
+    stencils + a batched solve.  Border/end-scale values are garbage
+    (never sampled); singular fits give inf/nan (filtered downstream).
+    """
+    st = fit_stencils(resp)
+    x0, x1, x2, strength = _fit_closed_form(*[st[..., k] for k in range(10)])
     return jnp.stack([x0, x1, x2, strength], axis=-1)
+
+
+# Stencil gather offsets for the sparse per-candidate fit: every
+# distinct (ds, dr, dc) the 10 fit inputs touch (19 of the 27
+# neighbours; corners of the 3x3x3 cube are unused).
+_FIT_OFFSETS = [
+    (0, 0, 0),
+    (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1),
+    (1, 1, 0), (1, -1, 0), (-1, 1, 0), (-1, -1, 0),
+    (1, 0, 1), (1, 0, -1), (-1, 0, 1), (-1, 0, -1),
+    (0, 1, 1), (0, 1, -1), (0, -1, 1), (0, -1, -1),
+]
+
+
+def fit_sparse(resp_flat: jnp.ndarray, lin: jnp.ndarray,
+               plane: jnp.ndarray, ow: jnp.ndarray):
+    """Per-candidate quadratic fit: gather the 19 stencil neighbours of
+    each candidate with flat takes and run the closed-form solve on
+    (cap,) vectors — the alternative to :func:`fit_dense`'s
+    every-position maps (dense: ~50-op expression + a 16-byte write per
+    pyramid cell, ~98% of which is never read; sparse: 19 gathers per
+    candidate).  Candidates sit strictly inside the per-scale windows
+    (mask borders >= 1, scales 1..ms-2) and the walk clamps to the same
+    interior, so every neighbour index stays inside the candidate's own
+    octave block.
+
+    resp_flat: (T,) all-octave flattened pyramid; lin: (cap,) flat
+    indices; plane: (cap,) per-candidate scale-plane size (oh*ow);
+    ow: (cap,) per-candidate row stride.  Returns (off_s, off_r,
+    off_c, strength), each (cap,).
+    """
+    vals = {}
+    for ds, dr, dc in _FIT_OFFSETS:
+        off = ds * plane + dr * ow + dc
+        vals[(ds, dr, dc)] = jnp.take(resp_flat, lin + off)
+
+    def v(ds, dr, dc):
+        return vals[(ds, dr, dc)]
+
+    half, quarter, two = (jnp.float32(0.5), jnp.float32(0.25),
+                          jnp.float32(2.0))
+    c = v(0, 0, 0)
+    g_s = (v(1, 0, 0) - v(-1, 0, 0)) * half
+    g_r = (v(0, 1, 0) - v(0, -1, 0)) * half
+    g_c = (v(0, 0, 1) - v(0, 0, -1)) * half
+    h_ss = v(1, 0, 0) + v(-1, 0, 0) - two * c
+    h_rr = v(0, 1, 0) + v(0, -1, 0) - two * c
+    h_cc = v(0, 0, 1) + v(0, 0, -1) - two * c
+    h_sr = ((v(1, 1, 0) - v(1, -1, 0)) - (v(-1, 1, 0) - v(-1, -1, 0))
+            ) * quarter
+    h_sc = ((v(1, 0, 1) - v(1, 0, -1)) - (v(-1, 0, 1) - v(-1, 0, -1))
+            ) * quarter
+    h_rc = ((v(0, 1, 1) - v(0, 1, -1)) - (v(0, -1, 1) - v(0, -1, -1))
+            ) * quarter
+    return _fit_closed_form(g_s, g_r, g_c, h_ss, h_rr, h_cc,
+                            h_sr, h_sc, h_rc, c)
 
 
 def _candidate_mask(resp: jnp.ndarray, osched: OctaveSchedule,
@@ -196,18 +257,24 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
     if cap is None:
         cap = cfg.max_candidates
 
+    sparse_fit = getattr(cfg, "detect_fit", "dense") == "sparse"
     masks, stens, offs, shapes = [], [], [0], []
     for o in range(noct):
         resp = pyr[o]
         masks.append(_candidate_mask(resp, scheds[o], cfg).reshape(-1))
-        stens.append(fit_dense(resp).reshape(-1, 4))
+        if not sparse_fit:
+            stens.append(fit_dense(resp).reshape(-1, 4))
         offs.append(offs[-1] + resp.size)
         shapes.append(resp.shape)
     mask = jnp.concatenate(masks)
-    # four flat (T,) maps [off_s, off_r, off_c, strength]: the walk
-    # gathers each with a flat 1D take, which TPU executes far faster
-    # than row-gathers of (T, 4)
-    sten = [jnp.concatenate([s[:, k] for s in stens]) for k in range(4)]
+    if sparse_fit:
+        resp_flat = jnp.concatenate([r.reshape(-1) for r in pyr])
+        sten = None
+    else:
+        # four flat (T,) maps [off_s, off_r, off_c, strength]: the walk
+        # gathers each with a flat 1D take, which TPU executes far
+        # faster than row-gathers of (T, 4)
+        sten = [jnp.concatenate([s[:, k] for s in stens]) for k in range(4)]
     total = offs[-1]
 
     lin0 = lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
@@ -243,13 +310,17 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
     border = btab[octv * ms_p + s_idx]
 
     # --- interpolation walk (fixed iterations, flat gathers) -----------
-    def fit(lin_idx):
+    def fit(lin_idx, oh_i, ow_i):
+        if sparse_fit:
+            x0, x1, x2, s = fit_sparse(resp_flat, lin_idx, oh_i * ow_i,
+                                       ow_i)
+            return jnp.stack([x0, x1, x2], -1), s
         v = [jnp.take(m, lin_idx) for m in sten]   # 4 x (cap,)
         return jnp.stack(v[0:3], -1), v[3]
 
     def step(lin, r, c, border, oh_t, ow_t, active):
         """One fit + walk move; returns fit outputs and moved state."""
-        off_new, strength_new = fit(lin)
+        off_new, strength_new = fit(lin, oh_t, ow_t)
         dr = (jnp.where(active & (off_new[:, 1] > 0.6) & (r < oh_t - border), 1, 0)
               - jnp.where(active & (off_new[:, 1] < -0.6) & (r > border), 1, 0))
         dc = (jnp.where(active & (off_new[:, 2] > 0.6) & (c < ow_t - border), 1, 0)

@@ -78,3 +78,34 @@ def test_detection_respects_threshold(small_image):
     cfg_lo = SurfConfig(noctaves=2, thresh=1.0, candidates_per_octave=1024)
     got_lo = _detect_jax(small_image, cfg_lo)
     assert len(got) < len(got_lo)
+
+
+def test_sparse_fit_matches_dense():
+    """detect_fit='sparse' (per-candidate stencil gathers) must be
+    numerically identical to the dense every-position fit maps on a
+    realistic multi-octave detect (hardware A/B knob, ops/extrema.py)."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.ops.integral import integral_image
+    from cuda_surf_tpu.ops.hessian import response_pyramid
+    from cuda_surf_tpu.ops import extrema
+
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 255, (160, 224))
+           + 60 * np.sin(np.linspace(0, 40, 224))[None, :]).astype(np.uint8)
+    cfg = SurfConfig(noctaves=3, thresh=1.0, max_pts=1024,
+                     candidates_per_octave=1024)
+    ii = integral_image(jnp.asarray(img), cfg.doubled)
+    pyr = response_pyramid(ii, cfg, *img.shape)
+    sched = cfg.hessian_schedule(*img.shape)
+    d = extrema.detect(pyr, sched, cfg)
+    cfg_s = dataclasses.replace(cfg, detect_fit="sparse")
+    s = extrema.detect(pyr, sched, cfg_s)
+    assert int(d["count"]) == int(s["count"]) and int(d["count"]) > 50
+    vd, vs = np.asarray(d["valid"]), np.asarray(s["valid"])
+    np.testing.assert_array_equal(vd, vs)
+    for k in ("nx", "ny", "ns", "strength"):
+        np.testing.assert_allclose(np.asarray(d[k])[vd],
+                                   np.asarray(s[k])[vs], rtol=0, atol=0)
