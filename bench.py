@@ -75,20 +75,30 @@ def main():
 
     # full two-view geometry on top of matching (the BASELINE.json
     # "detect+describe+match+BA" per-frame metric): ratio/Laplacian
-    # filtering, 512-hypothesis RANSAC essential matrix, pose recovery,
-    # triangulation
+    # filtering, RANSAC essential matrix, pose recovery, triangulation.
+    # Default solver is the 5-point minimal solver; if its complex-
+    # arithmetic root finder ever fails to lower on a new backend, fall
+    # back to 8pt rather than losing the whole benchmark line.
     from cuda_surf_tpu.slam import track_pair, default_intrinsics
     intr = default_intrinsics(*left.shape)
     key = jax.random.PRNGKey(0)
-    trk = jax.jit(track_pair)
-    r = trk(kp1, d1, kp2, d2, intr, key)
-    jax.block_until_ready(r.t)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+
+    def time_track(solver):
+        trk = jax.jit(lambda *a: track_pair(*a, solver=solver))
         r = trk(kp1, d1, kp2, d2, intr, key)
-    _ = float(jnp.sum(r.t))
-    track_ms = (time.perf_counter() - t0) / ITERS * 1e3
-    n_inl = int(r.n_inliers)
+        jax.block_until_ready(r.t)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            r = trk(kp1, d1, kp2, d2, intr, key)
+        _ = float(jnp.sum(r.t))
+        return (time.perf_counter() - t0) / ITERS * 1e3, int(r.n_inliers)
+
+    solver_used = "5pt"
+    try:
+        track_ms, n_inl = time_track("5pt")
+    except Exception:
+        solver_used = "8pt"
+        track_ms, n_inl = time_track("8pt")
 
     # secondary metric: the rotation-invariant path (orientation
     # assignment + rotated descriptors), reference demo uses upright
@@ -117,6 +127,7 @@ def main():
         "extra": {
             "match_ms": round(match_ms, 4),
             "track_ms": round(track_ms, 4),
+            "track_solver": solver_used,
             "ransac_inliers": n_inl,
             "rotated_pair_ms": round(rotated_ms, 4),
             "keypoints": [n1, n2],

@@ -109,6 +109,45 @@ def render_terrain_sequence(n_frames: int = 50, h: int = 200, w: int = 280,
 
     Returns (frames uint8 (N, h, w), centres (N, 3), Intrinsics).
     """
+    poses = []
+    for i in range(n_frames):
+        ph = 2 * np.pi * i / n_frames if loop else 0.4 * i / n_frames
+        c = np.array([0.28 * np.cos(ph), 0.28 * np.sin(ph),
+                      -1.0 + 0.04 * np.sin(2 * ph)])
+        # gentle roll variation.  Amplitude is deliberately <= ~7 deg:
+        # upright SURF stops matching beyond ~10 deg relative roll, and
+        # revisit pairs must stay matchable for the loop detector
+        # (oriented descriptors are rotation-invariant but markedly
+        # less discriminative on this self-similar noise texture —
+        # median Lowe ratio 0.96 vs 0.85 upright)
+        yaw = 0.12 * np.sin(ph)
+        Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                       [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+        poses.append((Rz, c))
+    return _render_terrain(poses, h, w, seed, relief)
+
+
+def render_forward_sequence(n_frames: int = 20, h: int = 200, w: int = 280,
+                            seed: int = 0, relief: float = 0.45,
+                            speed: float = 0.03):
+    """Forward-motion variant (KITTI-like geometry): the camera
+    advances mostly ALONG its optical axis toward the terrain with a
+    small lateral drift.  The epipole sits near the image centre —
+    the hard regime for monocular translation estimation (parallax
+    vanishes toward the focus of expansion), complementing the
+    lateral-motion orbit of :func:`render_terrain_sequence`."""
+    poses = []
+    I = np.eye(3)
+    for i in range(n_frames):
+        c = np.array([0.008 * i, 0.004 * i, -1.35 + speed * i])
+        poses.append((I, c))
+    return _render_terrain(poses, h, w, seed, relief)
+
+
+def _render_terrain(poses, h, w, seed, relief):
+    """Ray-march render of the procedural height-field for a list of
+    (R world->cam with d_z == 1, centre) poses.  Returns
+    (frames uint8 (N, h, w), centres (N, 3), Intrinsics)."""
     rng = np.random.default_rng(seed)
     intr = Intrinsics(fx=0.9 * w, fy=0.9 * w, cx=w / 2.0, cy=h / 2.0)
     T = 1024
@@ -144,22 +183,7 @@ def render_terrain_sequence(n_frames: int = 50, h: int = 200, w: int = 280,
     dy = (yy - intr.cy) / intr.fy
 
     frames, centres = [], []
-    for i in range(n_frames):
-        ph = 2 * np.pi * i / n_frames if loop else 0.4 * i / n_frames
-        c = np.array([0.28 * np.cos(ph), 0.28 * np.sin(ph),
-                      -1.0 + 0.04 * np.sin(2 * ph)])
-        # gentle roll variation.  Amplitude is deliberately <= ~7 deg:
-        # upright SURF stops matching beyond ~10 deg relative roll, and
-        # revisit pairs must stay matchable for the loop detector
-        # (oriented descriptors are rotation-invariant but markedly
-        # less discriminative on this self-similar noise texture —
-        # median Lowe ratio 0.96 vs 0.85 upright)
-        yaw = 0.12 * np.sin(ph)
-        Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
-                       [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
-        R = Rz
-        t = -R @ c
-
+    for R, c in poses:
         d_cam = np.stack([dx, dy, np.ones_like(dx)], -1)
         d_world = d_cam @ R                       # R^T d
         # ray-march f(lam) = z(lam) - surface_z(x(lam), y(lam)): camera is
@@ -193,7 +217,7 @@ def render_terrain_sequence(n_frames: int = 50, h: int = 200, w: int = 280,
         X = c[None, None, :] + lam[..., None] * d_world
         img = sample_tex(X[..., 0], X[..., 1])
         frames.append(np.clip(img, 0, 255).astype(np.uint8))
-        centres.append(c)
+        centres.append(np.asarray(c, np.float64))
     return np.stack(frames), np.stack(centres), intr
 
 

@@ -262,3 +262,16 @@ def test_terrain_loops_and_graphs(terrain_run):
         assert ate_sim3 < max(3.0 * res.ate, 0.12), ate_sim3
     finally:
         pipe.frames = vo_frames
+
+
+def test_forward_motion_ate():
+    """Pure forward motion (epipole near image centre — the hard
+    monocular regime; KITTI-like geometry).  Measured ATE 0.022 over a
+    0.47-unit forward span at 16 frames; regression bound on a shorter
+    run."""
+    from cuda_surf_tpu.slam.sequence import render_forward_sequence
+    frames, centres, intr = render_forward_sequence(n_frames=10)
+    pipe = _pipe(intrinsics=intr)
+    res = run_sequence(pipe, frames, gt=centres)
+    assert (res.inliers[1:] > 100).all(), res.inliers
+    assert res.ate < 0.06, res.ate
