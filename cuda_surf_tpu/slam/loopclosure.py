@@ -132,7 +132,8 @@ class LoopDetector:
 def optimize_with_loops(frames, closures: List[LoopClosure],
                         n_iters: int = 15, loop_weight: float = 2.0,
                         max_rot: float = 0.6, max_trans: float = 3.0,
-                        frame_depths=None, robust_delta: float = 0.1):
+                        frame_depths=None, robust_delta: float = 0.1,
+                        reject_residual: float | None = 1.0):
     """Pose-graph optimization over a frame chain plus loop edges.
 
     `frames`: list with .R (world->cam) and .t attributes (the
@@ -194,15 +195,47 @@ def optimize_with_loops(frames, closures: List[LoopClosure],
         rel_t.append(e_t)
         weight.append(loop_weight)
 
-    graph = PoseGraph(
-        R=jnp.asarray(Ri, jnp.float32), t=jnp.asarray(ti, jnp.float32),
-        edge_i=jnp.asarray(edge_i, jnp.int32),
-        edge_j=jnp.asarray(edge_j, jnp.int32),
-        rel_R=jnp.asarray(np.stack(rel_R), jnp.float32),
-        rel_t=jnp.asarray(np.stack(rel_t), jnp.float32),
-        weight=jnp.asarray(weight, jnp.float32))
+    def build(ei, ej, rR, rt, w):
+        return PoseGraph(
+            R=jnp.asarray(Ri, jnp.float32), t=jnp.asarray(ti, jnp.float32),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            rel_R=jnp.asarray(np.stack(rR), jnp.float32),
+            rel_t=jnp.asarray(np.stack(rt), jnp.float32),
+            weight=jnp.asarray(w, jnp.float32))
+
+    graph = build(edge_i, edge_j, rel_R, rel_t, weight)
     is_loop = jnp.arange(len(edge_i)) >= (n - 1)
     out, costs = optimize(graph, n_iters=n_iters,
                           robust_delta=robust_delta, robust_mask=is_loop)
+
+    # A-posteriori chi-square edge rejection: Huber only BOUNDS an
+    # outlier's influence, and with a single gauge anchor a bounded
+    # force still displaces a long elastic chain by O(length x delta).
+    # A loop edge whose residual norm stays large after the robust pass
+    # is inconsistent with the rest of the graph — drop it and re-run
+    # (the standard two-stage robust pose-graph recipe).
+    if reject_residual is not None and len(edge_i) > n - 1:
+        from .posegraph import edge_residuals
+        r = np.asarray(edge_residuals(
+            graph._replace(R=out.R, t=out.t)))
+        rn = np.linalg.norm(r, axis=1)
+        keep = ~np.asarray(is_loop) | (rn < reject_residual)
+        if not keep.all() and not keep[n - 1:].any():
+            # every loop edge rejected: the odometry chain alone is
+            # exactly satisfiable — return it untouched rather than
+            # keeping the outliers' residual influence
+            return Ri.astype(np.float64), ti.astype(np.float64), 0.0
+        if not keep.all():
+            ki = np.flatnonzero(keep)
+            graph = build([edge_i[i] for i in ki],
+                          [edge_j[i] for i in ki],
+                          [rel_R[i] for i in ki],
+                          [rel_t[i] for i in ki],
+                          [weight[i] for i in ki])
+            is_loop2 = jnp.asarray(ki >= (n - 1))
+            out, costs = optimize(graph, n_iters=n_iters,
+                                  robust_delta=robust_delta,
+                                  robust_mask=is_loop2)
     return (np.asarray(out.R), np.asarray(out.t),
             float(np.asarray(costs)[-1]))

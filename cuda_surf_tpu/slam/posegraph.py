@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..geometry.pose import exp_so3, log_so3, compose, invert
@@ -173,6 +174,14 @@ def _solve_cg(graph, n, damping, Hii, Hjj, Hij, bi, bj,
     return x
 
 
+def edge_residuals(graph: PoseGraph) -> jnp.ndarray:
+    """Unweighted per-edge residuals (E, 6) at the graph's current
+    state — the a-posteriori consistency check behind chi-square edge
+    rejection (loopclosure.optimize_with_loops)."""
+    r, *_ = _edge_blocks(graph, graph.R, graph.t)
+    return r
+
+
 def robust_factors(r, robust_delta, robust_mask):
     """Huber IRLS edge weights: 1 inside `robust_delta`, delta/||r||
     outside — linearizes the loss for gross-residual edges so one bad
@@ -224,3 +233,155 @@ def optimize(graph: PoseGraph, n_iters: int = 10,
 
     (R, t), costs = lax.scan(step, (graph.R, graph.t), None, length=n_iters)
     return graph._replace(R=R, t=t), costs
+
+
+# ----------------------------------------------------- distributed (mesh)
+
+def _pad_graph_edges(graph: PoseGraph, multiple: int):
+    """Pad the edge axis to a multiple with zero-weight identity
+    self-edges (0, 0, rel=I): their residual is exactly zero and their
+    weight zeroes every normal-equation block, so padding is inert."""
+    E = int(graph.edge_i.shape[0])
+    pad = (-E) % multiple
+    if pad == 0:
+        return graph
+    zi = jnp.zeros(pad, jnp.int32)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=graph.rel_R.dtype),
+                           (pad, 3, 3))
+    return graph._replace(
+        edge_i=jnp.concatenate([graph.edge_i, zi]),
+        edge_j=jnp.concatenate([graph.edge_j, zi]),
+        rel_R=jnp.concatenate([graph.rel_R, eye]),
+        rel_t=jnp.concatenate([graph.rel_t,
+                               jnp.zeros((pad, 3), graph.rel_t.dtype)]),
+        weight=jnp.concatenate([graph.weight,
+                                jnp.zeros(pad, graph.weight.dtype)]))
+
+
+@f32_matmuls
+def optimize_distributed(graph: PoseGraph, mesh, n_iters: int = 10,
+                         damping: float = 1e-6,
+                         cg_iters: int | None = None,
+                         robust_delta: float | None = None,
+                         robust_mask: jnp.ndarray | None = None):
+    """Pose-graph Gauss-Newton with the EDGE axis sharded over `mesh`.
+
+    Each device linearizes only its edge shard (residual + Jacobian
+    blocks) and contributes to the node-indexed normal equations by
+    local segment-sum + one `psum` over the mesh axis; the
+    block-Jacobi-preconditioned CG then needs exactly one psum of an
+    (n, 6) vector per matvec — communication O(n) per CG step,
+    independent of the edge count.  Nodes are replicated (a trajectory
+    of n poses is 12n floats — tiny); the EDGES carry the O(E) work:
+    vmapped forward-mode Jacobians, 6x6 block products.
+
+    Reference baseline: no communication layer at all
+    (/root/reference/cuda_utils.h:41-67); this is SURVEY.md section 2.5
+    north-star scaling applied to the SLAM backend.  Semantics match
+    :func:`optimize` with solver="cg" (the padding edges are inert).
+
+    Returns (optimized PoseGraph [original edge count], costs (n_iters,)).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    ndev = int(np.prod(mesh.devices.shape))
+    E = int(graph.edge_i.shape[0])
+    gp = _pad_graph_edges(graph, ndev)
+    rmask = robust_mask
+    if robust_delta is not None:
+        if rmask is None:
+            rmask = jnp.ones(E, bool)
+        rmask = jnp.concatenate(
+            [rmask, jnp.zeros(gp.edge_i.shape[0] - E, bool)])
+    else:
+        rmask = jnp.zeros(gp.edge_i.shape[0], bool)
+
+    n = gp.R.shape[0]
+    d = 6
+    if cg_iters is None:
+        cg_iters = max(8 * n, 200)
+
+    eshard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    edges = [jax.device_put(a, eshard) for a in
+             (gp.edge_i, gp.edge_j, gp.rel_R, gp.rel_t, gp.weight, rmask)]
+    R0 = jax.device_put(gp.R, rep)
+    t0 = jax.device_put(gp.t, rep)
+
+    def local_run(R, t, edge_i, edge_j, rel_R, rel_t, weight, rmask_l):
+        g = PoseGraph(R, t, edge_i, edge_j, rel_R, rel_t, weight)
+        ii, jj = edge_i, edge_j
+        seg = jnp.concatenate([ii, jj])
+
+        def step(carry, _):
+            R, t = carry
+            r, Hii, Hjj, Hij, bi, bj = _edge_blocks(g, R, t)
+            if robust_delta is not None:
+                f = robust_factors(r, robust_delta, rmask_l)
+                Hii = f[:, None, None] * Hii
+                Hjj = f[:, None, None] * Hjj
+                Hij = f[:, None, None] * Hij
+                bi = f[:, None] * bi
+                bj = f[:, None] * bj
+            b = lax.psum(jax.ops.segment_sum(
+                jnp.concatenate([bi, bj]), seg, n), axis)
+            b = b.at[0].set(0.0)                      # gauge node 0
+            D = lax.psum(jax.ops.segment_sum(
+                jnp.concatenate([Hii, Hjj]), seg, n), axis)
+            D = D + damping * jnp.eye(d) + 1e-9 * jnp.eye(d)
+            D = D.at[0].set(jnp.eye(d))
+            Dinv = jnp.linalg.inv(D)
+            precond = lambda v: jnp.einsum("nab,nb->na", Dinv, v)
+
+            def matvec(x):
+                xg = x.at[0].set(0.0)
+                xi, xj = xg[ii], xg[jj]
+                yi = jnp.einsum("eab,eb->ea", Hii, xi) + \
+                    jnp.einsum("eab,eb->ea", Hij, xj)
+                yj = jnp.einsum("eba,eb->ea", Hij, xi) + \
+                    jnp.einsum("eab,eb->ea", Hjj, xj)
+                y = lax.psum(jax.ops.segment_sum(
+                    jnp.concatenate([yi, yj]), seg, n), axis)
+                y = y + damping * xg
+                return y.at[0].set(x[0])
+
+            x0 = jnp.zeros_like(b)
+            z0 = precond(b)
+            bnorm = jnp.sum(b * b)
+
+            def cond(c):
+                k, x, rr, z, p, rz = c
+                return (k < cg_iters) & (jnp.sum(rr * rr)
+                                         > 1e-8 * (bnorm + 1e-30))
+
+            def body(c):
+                k, x, rr, z, p, rz = c
+                Hp = matvec(p)
+                alpha = rz / (jnp.sum(p * Hp) + 1e-30)
+                x = x + alpha * p
+                rr = rr - alpha * Hp
+                z = precond(rr)
+                rz_new = jnp.sum(rr * z)
+                p = z + (rz_new / (rz + 1e-30)) * p
+                return k + 1, x, rr, z, p, rz_new
+
+            _, dx, *_ = lax.while_loop(
+                cond, body, (0, x0, b, z0, z0, jnp.sum(b * z0)))
+            R = exp_so3(dx[:, :3]) @ R
+            t = t + dx[:, 3:]
+            return (R, t), lax.psum(jnp.sum(r * r), axis)
+
+        (R, t), costs = lax.scan(step, (R, t), None, length=n_iters)
+        return R, t, costs
+
+    run = shard_map(
+        local_run, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    R, t, costs = jax.jit(run)(R0, t0, *edges)
+    out = graph._replace(R=R, t=t)
+    return out, costs

@@ -152,3 +152,90 @@ def test_sim3_dense_cg_agree(rng):
                                                  solver="cg"))(gp)
     np.testing.assert_allclose(np.asarray(gd.t), np.asarray(gc.t), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gd.s), np.asarray(gc.s), atol=1e-4)
+
+
+def test_distributed_matches_single_device(rng):
+    """Edge-sharded distributed pose graph (one psum per CG matvec)
+    must match the single-device CG solver on an 8-device mesh."""
+    from jax.sharding import Mesh
+    from cuda_surf_tpu.slam.posegraph import optimize_distributed
+
+    g, Rs, ts = _circle_graph(40, 6, rng)
+    mesh = Mesh(np.asarray(jax.devices()), ("edges",))
+    gd, cd = optimize_distributed(g, mesh, n_iters=6)
+    gs, cs = jax.jit(lambda g: optimize(g, n_iters=6, solver="cg"))(g)
+    np.testing.assert_allclose(np.asarray(gd.t), np.asarray(gs.t),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cd), np.asarray(cs),
+                               rtol=1e-4, atol=1e-8)
+    # recovers the circle
+    assert float(jnp.abs(gd.t - ts).max()) < 1e-2
+
+
+def test_distributed_robust_matches_single(rng):
+    """Distributed Huber-IRLS path is numerically the single-device
+    robust CG (same per-edge reweighting, edges merely sharded)."""
+    from jax.sharding import Mesh
+    from cuda_surf_tpu.slam.posegraph import optimize_distributed
+
+    g, Rs, ts = _circle_graph(30, 4, rng)
+    E = int(g.edge_i.shape[0])
+    rel_t = np.asarray(g.rel_t).copy()
+    rel_t[E - 1] += np.array([0.4, -0.3, 0.2], np.float32)  # moderate
+    g = g._replace(rel_t=jnp.asarray(rel_t))
+    is_loop = jnp.arange(E) >= 29
+    mesh = Mesh(np.asarray(jax.devices()), ("edges",))
+    gd, _ = optimize_distributed(g, mesh, n_iters=8, robust_delta=0.1,
+                                 robust_mask=is_loop)
+    gs, _ = jax.jit(lambda g: optimize(
+        g, n_iters=8, solver="cg", robust_delta=0.1,
+        robust_mask=is_loop))(g)
+    np.testing.assert_allclose(np.asarray(gd.t), np.asarray(gs.t),
+                               atol=1e-3)
+
+
+def test_gross_outlier_loop_rejected():
+    """A grossly wrong loop edge must be CUT, not merely downweighted:
+    Huber bounds its influence, but with one gauge anchor a bounded
+    force still bends a long chain by O(length x delta) — the
+    a-posteriori chi-square rejection in optimize_with_loops removes it
+    and re-optimizes (two-stage robust recipe)."""
+    from types import SimpleNamespace
+    from cuda_surf_tpu.slam.loopclosure import (LoopClosure,
+                                                optimize_with_loops)
+
+    rng = np.random.default_rng(4)
+    g, Rs, ts = _circle_graph(30, 0, rng, drift=0.01)
+    frames = [SimpleNamespace(R=np.asarray(g.R[k], np.float64),
+                              t=np.asarray(g.t[k], np.float64))
+              for k in range(30)]
+    # one GOOD loop (true relative pose 3 -> 18, detector convention
+    # T_j = T_rel T_i; on this circle the camera-frame rel translation
+    # is ~0, so its unit direction is arbitrary) ...
+    def rel(i, j):
+        Rr = Rs[j] @ Rs[i].T
+        return Rr, ts[j] - Rr @ ts[i]
+    Rg, tg = rel(3, 18)
+    tg = tg if np.linalg.norm(tg) > 1e-9 else np.array([1.0, 0, 0])
+    good = LoopClosure(i=3, j=18, R=Rg, t=tg / np.linalg.norm(tg),
+                       n_inliers=100, med_depth=40.0)
+    # ... and one gross outlier: its triangulated-depth scale claims
+    # the endpoints are ~50 units apart (true separation ~0.075) —
+    # exactly the failure a bogus-but-RANSAC-consistent closure causes
+    Rb, _ = rel(5, 20)
+    bad_dir = np.array([0.8, 0.0, 0.6])
+    bad = LoopClosure(i=5, j=20, R=Rb, t=bad_dir / np.linalg.norm(bad_dir),
+                      n_inliers=100, med_depth=0.1)
+    fd = [5.0] * 30   # scale(bad) = fd_i / med_depth = 50
+    Ro, to, cost = optimize_with_loops(
+        frames, [good, bad], n_iters=10, max_rot=10.0, max_trans=1e9,
+        frame_depths=fd)
+    err = np.abs(to - ts).max()
+    # without rejection the bounded Huber influence still bends the
+    # chain; with the chi-square cut the planted edge is gone
+    Ro2, to2, _ = optimize_with_loops(
+        frames, [good, bad], n_iters=10, max_rot=10.0, max_trans=1e9,
+        frame_depths=fd, reject_residual=None)
+    err2 = np.abs(to2 - ts).max()
+    assert err < 0.2, (err, err2)
+    assert err2 > err + 0.1, (err, err2)
