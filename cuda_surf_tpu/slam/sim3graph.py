@@ -143,7 +143,8 @@ def centres(graph: Sim3Graph) -> np.ndarray:
 def optimize_with_loops_sim3(frames, closures, frame_depths,
                              n_iters: int = 12, loop_weight: float = 5.0,
                              min_gap: int = 10, max_rot: float = 0.6,
-                             robust_delta: float = 0.1):
+                             robust_delta: float = 0.1,
+                             reject_residual: float | None = 1.0):
     """Build + optimize the Sim(3) graph from a VO chain and detected
     loop closures.
 
@@ -205,17 +206,43 @@ def optimize_with_loops_sim3(frames, closures, frame_depths,
         weight.append((loop_weight, loop_weight, loop_weight))
         kept += 1
 
-    graph = Sim3Graph(
-        s=jnp.ones(n, jnp.float32),
-        R=jnp.asarray(Ri), t=jnp.asarray(ti),
-        edge_i=jnp.asarray(edge_i, jnp.int32),
-        edge_j=jnp.asarray(edge_j, jnp.int32),
-        rel_s=jnp.asarray(rel_s, jnp.float32),
-        rel_R=jnp.asarray(np.stack(rel_R), jnp.float32),
-        rel_t=jnp.asarray(np.stack(rel_t), jnp.float32),
-        weight=jnp.asarray(weight, jnp.float32))
+    def build(ei, ej, rs, rR, rt, w):
+        return Sim3Graph(
+            s=jnp.ones(n, jnp.float32),
+            R=jnp.asarray(Ri), t=jnp.asarray(ti),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            rel_s=jnp.asarray(rs, jnp.float32),
+            rel_R=jnp.asarray(np.stack(rR), jnp.float32),
+            rel_t=jnp.asarray(np.stack(rt), jnp.float32),
+            weight=jnp.asarray(w, jnp.float32))
+
+    graph = build(edge_i, edge_j, rel_s, rel_R, rel_t, weight)
     is_loop = jnp.arange(len(edge_i)) >= (n - 1)
     out, costs = optimize(graph, n_iters=n_iters,
                           robust_delta=robust_delta, robust_mask=is_loop)
+
+    # a-posteriori chi-square loop rejection, exactly as in the SE(3)
+    # path (loopclosure.optimize_with_loops): Huber bounds but does not
+    # remove a gross outlier's influence
+    if reject_residual is not None and len(edge_i) > n - 1:
+        r, *_ = _edge_blocks(graph._replace(s=out.s, R=out.R, t=out.t),
+                             out.s, out.R, out.t)
+        rn = np.linalg.norm(np.asarray(r), axis=1)
+        # sim3 _edge_blocks returns WEIGHTED residuals: loop rows carry
+        # loop_weight, so the threshold scales with it
+        keep = ~np.asarray(is_loop) | (rn < reject_residual * loop_weight)
+        if not keep.all() and not keep[n - 1:].any():
+            return (np.ones(n), Ri.astype(np.float64),
+                    ti.astype(np.float64),
+                    np.stack([-Ri[k].T @ ti[k] for k in range(n)]), 0.0)
+        if not keep.all():
+            ki = np.flatnonzero(keep)
+            graph = build([edge_i[i] for i in ki], [edge_j[i] for i in ki],
+                          [rel_s[i] for i in ki], [rel_R[i] for i in ki],
+                          [rel_t[i] for i in ki], [weight[i] for i in ki])
+            out, costs = optimize(graph, n_iters=n_iters,
+                                  robust_delta=robust_delta,
+                                  robust_mask=jnp.asarray(ki >= (n - 1)))
     return (np.asarray(out.s), np.asarray(out.R), np.asarray(out.t),
             centres(out), float(np.asarray(costs)[-1]))
