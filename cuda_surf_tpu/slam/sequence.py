@@ -221,18 +221,72 @@ def _render_terrain(poses, h, w, seed, relief):
     return np.stack(frames), np.stack(centres), intr
 
 
+def _latest_pipeline_ckpt(directory: str):
+    import glob
+    import os
+    files = sorted(glob.glob(os.path.join(directory, "pipeline_*.npz")))
+    return files[-1] if files else None
+
+
+def _save_pipeline_atomic(directory: str, pipe: SlamPipeline, k: int):
+    """Torn-write-immune checkpoint: a kill mid-save leaves only a temp
+    file that resume discovery ignores."""
+    import os
+    from .checkpoint import save_pipeline
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, f".tmp_{os.getpid()}.npz")
+    save_pipeline(tmp, pipe)
+    os.replace(tmp, os.path.join(directory, f"pipeline_{k:09d}.npz"))
+
+
 def run_sequence(pipe: SlamPipeline, frames, gt: np.ndarray | None = None,
-                 prefetch_depth: int = 4) -> SequenceResult:
+                 prefetch_depth: int = 4,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 25,
+                 heartbeat_path: str | None = None) -> SequenceResult:
     """Drive the pipeline over `frames` (array of images, or a list of
-    image paths streamed through the native prefetching loader)."""
-    if len(frames) and isinstance(frames[0], str):
+    image paths streamed through the native prefetching loader).
+
+    Long-run resilience (SURVEY.md section 5 row 3): with
+    `checkpoint_dir`, the pipeline state is atomically checkpointed
+    every `checkpoint_every` frames and at the end; re-running the same
+    call after a crash/kill resumes after the newest complete
+    checkpoint and produces the identical trajectory.  With
+    `heartbeat_path`, a liveness file is published for an external
+    watchdog (parallel/elastic.py)."""
+    n_total = len(frames)
+    start = 0
+    if checkpoint_dir is not None:
+        ck = _latest_pipeline_ckpt(checkpoint_dir)
+        if ck is not None:
+            from .checkpoint import load_pipeline
+            load_pipeline(ck, pipe)
+            start = min(len(pipe.frames), n_total)
+    rest = frames[start:] if start else frames
+    if len(rest) and isinstance(rest[0], str):
         from ..io.native import FrameLoader
-        it = FrameLoader(list(frames), depth=prefetch_depth)
+        it = FrameLoader(list(rest), depth=prefetch_depth)
     else:
-        it = iter(frames)
-    states = [pipe.process(np.asarray(f)) for f in it]
+        it = iter(rest)
+    hb = None
+    if heartbeat_path is not None:
+        from ..parallel.elastic import Heartbeat
+        hb = Heartbeat(heartbeat_path).start()
+    try:
+        for k, f in enumerate(it, start=start):
+            pipe.process(np.asarray(f))
+            if hb is not None:
+                hb.beat(k)
+            if (checkpoint_dir is not None and (k + 1) % checkpoint_every
+                    == 0 and k + 1 < n_total):
+                _save_pipeline_atomic(checkpoint_dir, pipe, k + 1)
+        if checkpoint_dir is not None and n_total > start:
+            _save_pipeline_atomic(checkpoint_dir, pipe, n_total)
+    finally:
+        if hb is not None:
+            hb.stop()
     traj = pipe.trajectory()
-    inl = np.asarray([s.n_inliers for s in states])
+    inl = np.asarray([s.n_inliers for s in pipe.frames])
     ate = None
     if gt is not None:
         ate = ate_rmse(traj, np.asarray(gt), with_scale=True)

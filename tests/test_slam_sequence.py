@@ -275,3 +275,31 @@ def test_forward_motion_ate():
     res = run_sequence(pipe, frames, gt=centres)
     assert (res.inliers[1:] > 100).all(), res.inliers
     assert res.ate < 0.06, res.ate
+
+
+def test_run_sequence_checkpoint_resume(plane_seq, tmp_path):
+    """Crash-resume through run_sequence's checkpoint_dir: a second
+    invocation after an interrupted run continues from the newest
+    atomic checkpoint and matches the uninterrupted trajectory."""
+    frames, centres, intr = plane_seq
+    d = str(tmp_path / "ckpts")
+
+    full = _pipe(intrinsics=intr)
+    res_full = run_sequence(full, frames)
+
+    # "crashed" run: only the first 4 frames were processed
+    p1 = _pipe(intrinsics=intr)
+    run_sequence(p1, frames[:4], checkpoint_dir=d, checkpoint_every=2)
+    import glob
+    assert glob.glob(d + "/pipeline_*.npz")
+
+    # restart: same call over the whole sequence resumes at frame 4
+    p2 = _pipe(intrinsics=intr)
+    res2 = run_sequence(p2, frames, checkpoint_dir=d, checkpoint_every=2,
+                        heartbeat_path=str(tmp_path / "hb.json"))
+    assert len(p2.frames) == len(frames)
+    np.testing.assert_allclose(res2.trajectory, res_full.trajectory,
+                               atol=1e-5)
+    from cuda_surf_tpu.parallel.elastic import Heartbeat
+    payload = Heartbeat.read(str(tmp_path / "hb.json"), dead_after=60.0)
+    assert payload["step"] == len(frames) - 1 and not payload["dead"]
