@@ -15,6 +15,11 @@ up to RANSAC float noise; orbit radius 0.28):
     + SE(3) graph               0.118
     + Sim(3) after SE(3)        0.089   <- recommended recipe
     (Sim(3) alone               0.126)
+With --window-ba 8 (windowed Schur BA over landmark tracks —
+BASELINE config 3):
+    VO+BA                       0.167
+    + SE(3) graph               0.099
+    + Sim(3) after SE(3)        0.060
 SE(3) loop edges already carry measured baselines (scale recovered
 from the closure's own triangulation), so they fix most positional
 scale drift; the Sim(3) pass then redistributes the residual
@@ -41,17 +46,30 @@ def main():
     ap.add_argument("--width", type=int, default=280)
     ap.add_argument("--loop-gap", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--window-ba", type=int, default=0, metavar="W",
+                    help="windowed Schur-complement BA over landmark "
+                         "tracks (BASELINE config 3: multi-frame SfM)")
+    ap.add_argument("--forward", action="store_true",
+                    help="forward-motion sequence instead of the orbit")
     args = ap.parse_args()
 
     t0 = time.time()
-    frames, centres, intr = render_terrain_sequence(
-        n_frames=args.frames, h=args.height, w=args.width, seed=args.seed)
+    if args.forward:
+        from cuda_surf_tpu.slam.sequence import render_forward_sequence
+        frames, centres, intr = render_forward_sequence(
+            n_frames=args.frames, h=args.height, w=args.width,
+            seed=args.seed)
+    else:
+        frames, centres, intr = render_terrain_sequence(
+            n_frames=args.frames, h=args.height, w=args.width,
+            seed=args.seed)
     print(f"rendered {args.frames} frames in {time.time() - t0:.0f}s")
 
     pipe = SlamPipeline(
         SurfConfig(noctaves=3, thresh=2.0, max_pts=1024,
                    candidates_per_octave=1024),
-        intrinsics=intr, loop_detect=True, loop_min_gap=args.loop_gap)
+        intrinsics=intr, loop_detect=not args.forward,
+        loop_min_gap=args.loop_gap, window_ba=args.window_ba)
     t0 = time.time()
     res = run_sequence(pipe, frames, gt=centres)
     dt = time.time() - t0
