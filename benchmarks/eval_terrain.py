@@ -51,6 +51,9 @@ def main():
                          "tracks (BASELINE config 3: multi-frame SfM)")
     ap.add_argument("--forward", action="store_true",
                     help="forward-motion sequence instead of the orbit")
+    ap.add_argument("--plot", metavar="PATH.ppm",
+                    help="write a top-down trajectory plot (gt white, "
+                         "VO red, SE3+Sim3 blue)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -86,6 +89,24 @@ def main():
     cost = pipe.optimize_sim3()
     ate_combo = ate_rmse(pipe.trajectory(), centres)
     print(f"+ Sim(3) pose graph: cost={cost:.3e}  ATE={ate_combo:.4f}")
+
+    if args.plot:
+        from cuda_surf_tpu.slam.evaluate import umeyama_align
+        from cuda_surf_tpu.viz import plot_trajectories
+        from cuda_surf_tpu.io import write_ppm
+
+        def aligned(traj):
+            s, R, t = umeyama_align(np.asarray(traj), centres)
+            return (s * (R @ np.asarray(traj).T)).T + t
+
+        vo_traj = np.stack([-f.R.T @ f.t for f in vo_frames])
+        canvas = plot_trajectories({
+            "gt": centres,
+            "vo": aligned(vo_traj),
+            "se3+sim3": aligned(pipe.trajectory()),
+        })
+        write_ppm(args.plot, canvas)
+        print(f"trajectory plot -> {args.plot}")
 
     pipe.frames = [dataclasses.replace(f) for f in vo_frames]
     pipe.optimize_sim3()

@@ -92,3 +92,41 @@ def draw_matches(img1: np.ndarray, kps1, img2: np.ndarray, kps2, matches,
                    int(round(float(mx[i])) + ox), int(round(float(my[i])) + oy),
                    cols[i])
     return canvas
+
+
+def plot_trajectories(trajs: dict, size: int = 640,
+                      plane=(0, 1)) -> np.ndarray:
+    """Top-down trajectory plot (dependency-free rasterization).
+
+    trajs: {label: (N, 3) camera centres}; the first entry sets the
+    reference color (white) — pass ground truth first.  All
+    trajectories share one scale/offset fit to their joint bounding
+    box.  Start of each trajectory is marked with a small circle.
+    Returns an RGB uint8 (size, size, 3) canvas; save with io.write_ppm
+    or io.write_png.
+    """
+    canvas = np.zeros((size, size, 3), np.uint8)
+    pts = np.concatenate([np.asarray(t)[:, list(plane)]
+                          for t in trajs.values()])
+    lo = pts.min(0)
+    span = max(float((pts.max(0) - lo).max()), 1e-9)
+    margin = 0.06 * size
+
+    def to_px(p):
+        q = (np.asarray(p)[:, list(plane)] - lo) / span
+        x = margin + q[:, 0] * (size - 2 * margin)
+        y = size - margin - q[:, 1] * (size - 2 * margin)  # y-up
+        return np.rint(x).astype(int), np.rint(y).astype(int)
+
+    palette = [np.array([255, 255, 255], np.uint8),   # reference: white
+               np.array([255, 90, 60], np.uint8),
+               np.array([70, 160, 255], np.uint8),
+               np.array([90, 230, 120], np.uint8),
+               np.array([240, 210, 60], np.uint8)]
+    for idx, (label, t) in enumerate(trajs.items()):
+        color = palette[idx % len(palette)]
+        xs, ys = to_px(t)
+        for k in range(len(xs) - 1):
+            _draw_line(canvas, xs[k], ys[k], xs[k + 1], ys[k + 1], color)
+        _draw_circle(canvas, int(xs[0]), int(ys[0]), 4, color)
+    return canvas

@@ -89,3 +89,19 @@ def test_demo_cli(tmp_path, small_image):
     demo.main([p1, p2, "--iters", "2", "--octaves", "2",
                "--max-pts", "256", "--out-dir", str(tmp_path)])
     assert os.path.exists(str(tmp_path / "surf_show_matched.ppm"))
+
+
+def test_plot_trajectories(tmp_path):
+    import numpy as np
+    from cuda_surf_tpu.viz import plot_trajectories
+    from cuda_surf_tpu.io import write_ppm
+
+    th = np.linspace(0, 2 * np.pi, 40)
+    gt = np.stack([np.cos(th), np.sin(th), 0 * th], -1)
+    vo = gt + 0.03
+    canvas = plot_trajectories({"gt": gt, "vo": vo})
+    assert canvas.shape == (640, 640, 3)
+    # both polylines drawn (white reference + first palette color)
+    assert (canvas == 255).all(-1).sum() > 100
+    assert ((canvas[..., 0] == 255) & (canvas[..., 1] == 90)).sum() > 100
+    write_ppm(str(tmp_path / "traj.ppm"), canvas)
