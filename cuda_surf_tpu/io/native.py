@@ -100,10 +100,14 @@ def read_gray(path: str) -> np.ndarray:
         from .image import imread_gray
         return imread_gray(path)
     out = np.empty((h.value, w.value), np.uint8)
+    ah, aw = out.shape
     rc = lib.surfio_read_gray(
         path.encode(), ctypes.byref(w), ctypes.byref(h),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes)
-    if rc != 0:   # file changed between query and fill
+    # rc != 0 catches the grow case; the shape check catches the file
+    # shrinking between the size query and the fill (the copy succeeds
+    # but row stride / tail would be stale garbage)
+    if rc != 0 or (h.value, w.value) != (ah, aw):
         from .image import imread_gray
         return imread_gray(path)
     return out

@@ -83,7 +83,11 @@ class Heartbeat:
             "pid": os.getpid(),
             "process_index": _process_index(),
         }
-        tmp = f"{self.path}.tmp.{os.getpid()}"
+        # thread-unique tmp: stop() writes from the main thread after a
+        # join timeout, possibly while a wedged daemon thread is still
+        # inside its own _write — a shared tmp name would race the
+        # os.replace and raise FileNotFoundError out of stop()
+        tmp = f"{self.path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, self.path)  # atomic on POSIX
@@ -139,13 +143,15 @@ class CheckpointDir:
     """Step-numbered atomic npz checkpoints with newest-complete
     discovery.  Filenames: `<prefix>_<step>.npz`."""
 
-    _PAT = re.compile(r"_(\d+)\.npz$")
-
     def __init__(self, directory: str, prefix: str = "elastic",
                  keep: int = 3):
         self.dir = directory
         self.prefix = prefix
         self.keep = keep
+        # anchored to the FULL filename: a sibling prefix that extends
+        # this one ("run" vs "run_fine") must not leak its step numbers
+        # into discovery (load_latest would then open a missing path)
+        self._pat = re.compile(re.escape(prefix) + r"_(\d+)\.npz\Z")
         os.makedirs(directory, exist_ok=True)
 
     def _path(self, step: int) -> str:
@@ -154,9 +160,7 @@ class CheckpointDir:
     def steps(self) -> list[int]:
         out = []
         for name in os.listdir(self.dir):
-            if not name.startswith(self.prefix):
-                continue
-            m = self._PAT.search(name)
+            m = self._pat.fullmatch(name)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
@@ -170,6 +174,13 @@ class CheckpointDir:
             np.savez_compressed(f, **arrays)
         os.replace(tmp, self._path(step))
         self._prune()
+
+    def load(self, step: int):
+        """State dict at `step`, or None when that checkpoint is absent."""
+        if step not in self.steps():
+            return None
+        data = np.load(self._path(step))
+        return {k: data[k] for k in data.files}
 
     def load_latest(self):
         """(step, state) of the newest complete checkpoint, or
@@ -212,7 +223,33 @@ def run_elastic(step_fn: Callable[[int, dict], dict],
     deterministic given (step, state) for bit-stable recovery).
     """
     i_am_saver = all_processes or _process_index() == 0
+    if all_processes and _process_index() != 0:
+        # host-local state: each process gets its own checkpoint
+        # namespace, otherwise every rank writes the same filename and
+        # the last writer wins (resume would feed rank 0's state — e.g.
+        # a data-loader cursor — to every rank)
+        ckpt = CheckpointDir(ckpt.dir,
+                             f"{ckpt.prefix}.p{_process_index()}",
+                             keep=ckpt.keep)
     start, loaded = ckpt.load_latest()
+    # Multi-process resume must agree on the step: a rank whose local
+    # dir is missing/behind (non-shared FS, torn write) would otherwise
+    # restart at a different step and desynchronize every collective.
+    # Process 0's view wins; a rank without that checkpoint locally
+    # restarts from init (correct for replicated state, and for
+    # host-local state it restarts its cursor rather than deadlock).
+    if jax is not None:
+        try:
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                import jax.numpy as _jnp
+                agreed = int(multihost_utils.broadcast_one_to_all(
+                    _jnp.int32(start)))
+                if agreed != start:
+                    loaded = None if agreed < 0 else ckpt.load(agreed)
+                    start = agreed if loaded is not None else -1
+        except Exception:  # single-process / uninitialized runtime
+            pass
     state = dict(init_state) if loaded is None else loaded
     step = start + 1
     restarts = 0

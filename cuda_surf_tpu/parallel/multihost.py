@@ -48,6 +48,13 @@ def initialize_from_env(timeout_s: int = 60) -> bool:
     if not multiprocess_env():
         return False
     coord = os.environ["SURF_COORDINATOR"]
+    missing = [k for k in ("SURF_NUM_PROCESSES", "SURF_PROCESS_ID")
+               if k not in os.environ]
+    if missing:
+        raise RuntimeError(
+            "SURF_COORDINATOR is set but the launch contract is "
+            f"incomplete: missing {', '.join(missing)} (set all three "
+            "SURF_* variables, or none to defer to JAX autodetection)")
     nproc = int(os.environ["SURF_NUM_PROCESSES"])
     pid = int(os.environ["SURF_PROCESS_ID"])
     jax.distributed.initialize(

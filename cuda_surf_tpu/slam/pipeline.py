@@ -173,25 +173,28 @@ class SlamPipeline:
         # used to corrupt every loop edge anchored at frame 0 by the
         # full depth/baseline ratio, ~20x here).
         med_depth = (float(np.median(z2[pos])) if pos.any() else 1.0) * scale
-        if len(self.frames) == 1 and pos.any():
-            self.frame_depths[0] = med_loc * scale
-        self._prev_depth = med_depth
-        # leave global-unit depths on the CURRENT frame's matched slots
-        # for the next pair
-        idx = np.asarray(res.matches.index)
-        d_cur = np.full(int(kps.x.shape[0]), np.nan)
-        ok = pos & (idx >= 0) & (idx < d_cur.shape[0])
-        d_cur[idx[ok]] = scale * z2[ok]
-        self._prev_kp_depth = d_cur
 
         prev = self.frames[-1]
         if n_inl < self.min_inliers:
-            # tracking failure: keep previous pose (constant model);
-            # the failed pair's triangulation is garbage, so drop the
-            # per-slot depths rather than propagate them
+            # tracking failure: keep previous pose (constant model); the
+            # failed pair's triangulation is garbage, so drop the
+            # per-slot depths AND leave _prev_depth/frame_depths at the
+            # last good pair's value rather than poison the monocular
+            # scale chain (and any loop edge anchored at this frame)
+            # with a random med(z2)/med(z1) ratio
             self._prev_kp_depth = None
             R_w, t_w = prev.R, prev.t
         else:
+            if len(self.frames) == 1 and pos.any():
+                self.frame_depths[0] = med_loc * scale
+            self._prev_depth = med_depth
+            # leave global-unit depths on the CURRENT frame's matched
+            # slots for the next pair
+            idx = np.asarray(res.matches.index)
+            d_cur = np.full(int(kps.x.shape[0]), np.nan)
+            ok = pos & (idx >= 0) & (idx < d_cur.shape[0])
+            d_cur[idx[ok]] = scale * z2[ok]
+            self._prev_kp_depth = d_cur
             R_w = R_rel @ prev.R
             t_w = R_rel @ prev.t + scale * t_rel
         is_kf = n_inl < self.kf_frac * max(int(kp1.count), 1)

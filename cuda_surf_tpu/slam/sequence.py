@@ -228,15 +228,25 @@ def _latest_pipeline_ckpt(directory: str):
     return files[-1] if files else None
 
 
-def _save_pipeline_atomic(directory: str, pipe: SlamPipeline, k: int):
+def _save_pipeline_atomic(directory: str, pipe: SlamPipeline, k: int,
+                          keep: int = 3):
     """Torn-write-immune checkpoint: a kill mid-save leaves only a temp
-    file that resume discovery ignores."""
+    file that resume discovery ignores.  Older snapshots beyond `keep`
+    are pruned (each archive holds the full map/detector state — a long
+    sequence would otherwise accumulate hundreds of multi-MB files)."""
+    import glob
     import os
     from .checkpoint import save_pipeline
     os.makedirs(directory, exist_ok=True)
     tmp = os.path.join(directory, f".tmp_{os.getpid()}.npz")
     save_pipeline(tmp, pipe)
     os.replace(tmp, os.path.join(directory, f"pipeline_{k:09d}.npz"))
+    old = sorted(glob.glob(os.path.join(directory, "pipeline_*.npz")))
+    for path in old[: max(0, len(old) - keep)]:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
 
 
 def run_sequence(pipe: SlamPipeline, frames, gt: np.ndarray | None = None,

@@ -303,3 +303,29 @@ def test_run_sequence_checkpoint_resume(plane_seq, tmp_path):
     from cuda_surf_tpu.parallel.elastic import Heartbeat
     payload = Heartbeat.read(str(tmp_path / "hb.json"), dead_after=60.0)
     assert payload["step"] == len(frames) - 1 and not payload["dead"]
+
+
+def test_tracking_failure_holds_pose_and_depth(plane_seq):
+    """A frame that fails tracking (here: featureless) must hold the
+    constant-pose model AND leave the monocular depth chain untouched —
+    the failed pair's triangulation is garbage and used to poison
+    _prev_depth/frame_depths (and with them every later scale and any
+    loop edge anchored at the failed frame)."""
+    frames, centres, intr = plane_seq
+    blank = np.full_like(frames[0], 128)
+    seq = np.stack([frames[0], frames[1], frames[2], blank,
+                    frames[3], frames[4], frames[5]])
+    pipe = _pipe(intrinsics=intr)
+    run_sequence(pipe, seq)
+    # the blank frame (index 3) and the blank->f3 pair (index 4) fail
+    assert pipe.frames[3].n_inliers < pipe.min_inliers
+    np.testing.assert_array_equal(pipe.frames[3].t, pipe.frames[2].t)
+    np.testing.assert_array_equal(pipe.frames[3].R, pipe.frames[2].R)
+    # depth chain held at the last good pair's value, not re-measured
+    assert pipe.frame_depths[3] == pipe.frame_depths[2]
+    assert pipe.frame_depths[4] == pipe.frame_depths[3]
+    # recovery: the remaining pairs track again and stay finite/sane
+    assert pipe.frames[-1].n_inliers >= pipe.min_inliers
+    traj = pipe.trajectory()
+    assert np.isfinite(traj).all()
+    assert np.linalg.norm(traj[-1] - traj[0]) < 10.0
