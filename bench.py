@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,7 +24,7 @@ from cuda_surf_tpu.io import read_pgm
 
 BASELINE_MS = 6.5
 DATA = "/root/reference/data"
-ITERS = 100
+ITERS = int(os.environ.get("SURF_BENCH_ITERS", "100"))
 
 
 def main():
@@ -44,15 +45,48 @@ def main():
     # demo also treats the pair as one iteration, main.cpp:241-245); on
     # a tunneled TPU each dispatch costs ~1.5ms of fixed overhead, so
     # per-frame launches would mis-measure the pipeline itself.
+    import dataclasses
+
     from cuda_surf_tpu.frontend import detect_and_compute
 
-    @jax.jit
-    def detect_pair(a, b):
-        kp1, d1 = detect_and_compute(a, cfg)
-        kp2, d2 = detect_and_compute(b, cfg)
-        return kp1, d1, kp2, d2
+    def make_pair_fn(c):
+        @jax.jit
+        def detect_pair(a, b):
+            kp1, d1 = detect_and_compute(a, c)
+            kp2, d2 = detect_and_compute(b, c)
+            return kp1, d1, kp2, d2
+        return detect_pair
 
-    # Warmup / compile
+    # Auto-select the subpixel-fit backend: dense every-position fit
+    # maps vs per-candidate stencil gathers (bit-identical outputs,
+    # tests/test_extrema.py parity) have opposite cost profiles on
+    # CPU/TPU, so probe both briefly and keep the faster one.
+    def probe(c, iters=15):
+        fn = make_pair_fn(c)
+        kp1, d1, kp2, d2 = fn(limg, rimg)
+        jax.block_until_ready((kp1.count, d1, kp2.count, d2))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            kp1, d1, kp2, d2 = fn(limg, rimg)
+        _ = float(jnp.sum(d1)) + float(jnp.sum(d2))
+        return (time.perf_counter() - t0) / iters * 1e3, fn
+
+    fit_ms = {}
+    fns = {}
+    for fit in ("dense", "sparse"):
+        try:
+            fit_ms[fit], fns[fit] = probe(
+                dataclasses.replace(cfg, detect_fit=fit))
+        except Exception:
+            pass  # keep whichever backend does lower on this platform
+    if not fns:  # both probes failed: surface the dense-path error
+        fit_ms["dense"], fns["dense"] = probe(
+            dataclasses.replace(cfg, detect_fit="dense"))
+    fit_used = min(fit_ms, key=fit_ms.get)
+    cfg = dataclasses.replace(cfg, detect_fit=fit_used)
+    detect_pair = fns[fit_used]
+
+    # Warmup (already compiled by the probe)
     kp1, d1, kp2, d2 = detect_pair(limg, rimg)
     jax.block_until_ready((kp1.count, d1, kp2.count, d2))
     n1, n2 = int(kp1.count), int(kp2.count)
@@ -102,7 +136,6 @@ def main():
 
     # secondary metric: the rotation-invariant path (orientation
     # assignment + rotated descriptors), reference demo uses upright
-    import dataclasses
     rcfg = dataclasses.replace(cfg, upright=False)
 
     @jax.jit
@@ -128,6 +161,9 @@ def main():
             "match_ms": round(match_ms, 4),
             "track_ms": round(track_ms, 4),
             "track_solver": solver_used,
+            "detect_fit": fit_used,
+            "detect_fit_probe_ms": {k: round(v, 3)
+                                    for k, v in fit_ms.items()},
             "ransac_inliers": n_inl,
             "rotated_pair_ms": round(rotated_ms, 4),
             "keypoints": [n1, n2],

@@ -83,6 +83,39 @@ def test_extended_descriptor_dim(small_image):
     assert v.any()
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(desc)[v], axis=1), 1.0, atol=1e-5)
+    # value parity vs the independent NumPy oracle: the extended
+    # channel-split (describeExtended, reference surfd.cu K19/K22
+    # dyy/dxx-conditioned 8-way binning) paired point-by-point
+    got, idx = _to_sets(kps)
+    want_pts, want_desc = oracle.detect_and_compute(small_image, cfg)
+    assert len(got["x"]) == len(want_pts)
+    wx = np.array([p.x for p in want_pts])
+    wy = np.array([p.y for p in want_pts])
+    d = np.hypot(got["x"][:, None] - wx[None, :],
+                 got["y"][:, None] - wy[None, :])
+    pair = d.argmin(axis=1)
+    np.testing.assert_allclose(np.asarray(desc)[idx], want_desc[pair],
+                               atol=5e-4)
+
+
+def test_rotated_extended_descriptor_vs_oracle(small_image):
+    """Rotated + extended: the 128-d channel split composes with the
+    orientation rotation (reference K22 describeRotExtended)."""
+    cfg = SurfConfig(noctaves=2, upright=False, extended=True,
+                     max_pts=128, candidates_per_octave=256)
+    surf = Surf(cfg)
+    kps, desc = surf.detect_and_compute(small_image)
+    assert desc.shape == (128, 128)
+    got, idx = _to_sets(kps)
+    want_pts, want_desc = oracle.detect_and_compute(small_image, cfg)
+    assert len(got["x"]) == len(want_pts) and len(want_pts) > 3
+    wx = np.array([p.x for p in want_pts])
+    wy = np.array([p.y for p in want_pts])
+    d = np.hypot(got["x"][:, None] - wx[None, :],
+                 got["y"][:, None] - wy[None, :])
+    pair = d.argmin(axis=1)
+    np.testing.assert_allclose(np.asarray(desc)[idx], want_desc[pair],
+                               atol=5e-3)
 
 
 def test_match_semantics(rng):
