@@ -61,27 +61,37 @@ def main():
     # maps vs per-candidate stencil gathers (bit-identical outputs,
     # tests/test_extrema.py parity) have opposite cost profiles on
     # CPU/TPU, so probe both briefly and keep the faster one.
-    def probe(c, iters=15):
-        fn = make_pair_fn(c)
+    def time_fn(fn, iters):
+        fn(limg, rimg)  # drain any residual queue before timing
         kp1, d1, kp2, d2 = fn(limg, rimg)
-        jax.block_until_ready((kp1.count, d1, kp2.count, d2))
+        _ = float(jnp.sum(d1))
         t0 = time.perf_counter()
         for _ in range(iters):
             kp1, d1, kp2, d2 = fn(limg, rimg)
         _ = float(jnp.sum(d1)) + float(jnp.sum(d2))
-        return (time.perf_counter() - t0) / iters * 1e3, fn
+        return (time.perf_counter() - t0) / iters * 1e3
 
-    fit_ms = {}
+    # Compile both backends first, then time them interleaved (2 rounds,
+    # keep the per-backend minimum): the first timed loop after a
+    # compile is polluted by autotune/cache effects on the tunneled TPU
+    # (observed: a cold dense probe reading 207 ms vs 23 ms warm).
     fns = {}
     for fit in ("dense", "sparse"):
         try:
-            fit_ms[fit], fns[fit] = probe(
-                dataclasses.replace(cfg, detect_fit=fit))
+            fn = make_pair_fn(dataclasses.replace(cfg, detect_fit=fit))
+            kp1, d1, kp2, d2 = fn(limg, rimg)
+            jax.block_until_ready((kp1.count, d1, kp2.count, d2))
+            fns[fit] = fn
         except Exception:
             pass  # keep whichever backend does lower on this platform
-    if not fns:  # both probes failed: surface the dense-path error
-        fit_ms["dense"], fns["dense"] = probe(
+    if not fns:  # both backends failed: surface the dense-path error
+        fns["dense"] = make_pair_fn(
             dataclasses.replace(cfg, detect_fit="dense"))
+    fit_ms = {}
+    for _ in range(2):
+        for fit, fn in fns.items():
+            t = time_fn(fn, iters=15)
+            fit_ms[fit] = min(t, fit_ms.get(fit, float("inf")))
     fit_used = min(fit_ms, key=fit_ms.get)
     cfg = dataclasses.replace(cfg, detect_fit=fit_used)
     detect_pair = fns[fit_used]

@@ -60,6 +60,11 @@ class SurfConfig:
     # solves only there (no per-position maps/writes).  Numerically
     # identical; a hardware A/B knob (ops/extrema.py).
     detect_fit: str = "dense"
+    # Pyramid+NMS backend: "auto" uses the fused per-octave Pallas
+    # kernel (ops/fused_detect.py) on TPU and the XLA pipeline
+    # elsewhere; "fused"/"xla" force one; "fused_interpret" runs the
+    # fused kernel under the Pallas interpreter (CPU parity tests).
+    detect_backend: str = "auto"
 
     @property
     def max_candidates(self) -> int:

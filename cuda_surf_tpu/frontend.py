@@ -19,6 +19,7 @@ from .types import Keypoints, Matches, compact
 from .ops.integral import integral_image, box_sum
 from .ops.hessian import response_pyramid
 from .ops.extrema import detect
+from .ops.fused_detect import fused_pyramid, use_fused
 from .ops.orientation import assign_orientations
 from .ops.descriptor import describe
 from .ops.matcher import match_keypoints
@@ -35,10 +36,17 @@ def detect_and_compute(image: jnp.ndarray, cfg: SurfConfig,
     """
     h, w = image.shape
     ii = integral_image(image, cfg.doubled)
-    pyr = response_pyramid(ii, cfg, h, w, img=image)
     sched = cfg.hessian_schedule(h, w)
 
-    cand = detect(pyr, sched, cfg)
+    if use_fused(cfg):
+        pyr, cand_masks = fused_pyramid(
+            image, cfg, h, w,
+            interpret=cfg.detect_backend == "fused_interpret")
+    else:
+        pyr = response_pyramid(ii, cfg, h, w, img=image)
+        cand_masks = None
+
+    cand = detect(pyr, sched, cfg, cand_masks=cand_masks)
     count, valid, nx, ny, ns, strength, octave = compact(
         cand["valid"], cfg.max_pts, cand["nx"], cand["ny"], cand["ns"],
         cand["strength"], cand["octave"])

@@ -248,11 +248,16 @@ def _candidate_mask(resp: jnp.ndarray, osched: OctaveSchedule,
     return pre & is_max & window
 
 
-def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
+def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
+           cand_masks=None):
     """All-octave detection: dense NMS -> global compaction -> batched
     interpolation walk.  Returns dict of (cap,) arrays:
     valid, nx, ny, ns, strength, octave (octave-local interpolated
-    coords, ready for makePoint scaling)."""
+    coords, ready for makePoint scaling).
+
+    `cand_masks` (per-octave (ms, oh, ow) bool) lets the fused
+    detection kernel supply the NMS masks directly; otherwise they are
+    computed here with the XLA reduce_window formulation."""
     noct = len(pyr)
     if cap is None:
         cap = cfg.max_candidates
@@ -261,7 +266,10 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None):
     masks, stens, offs, shapes = [], [], [0], []
     for o in range(noct):
         resp = pyr[o]
-        masks.append(_candidate_mask(resp, scheds[o], cfg).reshape(-1))
+        if cand_masks is not None:
+            masks.append(cand_masks[o].reshape(-1))
+        else:
+            masks.append(_candidate_mask(resp, scheds[o], cfg).reshape(-1))
         if not sparse_fit:
             stens.append(fit_dense(resp).reshape(-1, 4))
         offs.append(offs[-1] + resp.size)

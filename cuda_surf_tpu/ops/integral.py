@@ -102,6 +102,44 @@ def phase_planes_all(img: jnp.ndarray, d: int) -> dict:
             for p in range(d) for q in range(d)}
 
 
+def phase_planes_packed(img: jnp.ndarray, d: int, keys, hp: int,
+                        wq: int) -> jnp.ndarray:
+    """Selected stride-d integral phase planes as ONE tile-aligned
+    (len(keys), hp, wq) int32 pack (consumed whole by the fused
+    detection kernel, ops/fused_detect.py).
+
+    Same two-matmul machinery as :func:`phase_planes_all`, but with the
+    per-phase block sizes padded to the (8, 128) tile (hp multiple of
+    8, wq multiple of 128) so the per-key slices are tile-aligned
+    copies, and only the requested (row%d, col%d) classes are stacked.
+    Rows/cols beyond the image are validly-cumulative tails (callers
+    mask them).
+    """
+    h, w = img.shape
+    assert hp % 8 == 0 and wq % 128 == 0
+    W = d * wq
+    col = lax.broadcasted_iota(jnp.int32, (w, W), 0)
+    j = lax.broadcasted_iota(jnp.int32, (w, W), 1)
+    U = (col < d * (j % wq) + j // wq).astype(jnp.bfloat16)
+    rows = lax.dot_general(img.astype(jnp.bfloat16), U,
+                           (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)  # (h, W)
+    yi = rows.astype(jnp.int32)                                 # < 2^24
+    parts = jnp.concatenate([yi & 255, (yi >> 8) & 255, yi >> 16],
+                            axis=1).astype(jnp.bfloat16)        # (h, 3W)
+    i = lax.broadcasted_iota(jnp.int32, (d * hp, h), 0)
+    row = lax.broadcasted_iota(jnp.int32, (d * hp, h), 1)
+    L = (row < d * (i % hp) + i // hp).astype(jnp.bfloat16)
+    out = lax.dot_general(L, parts, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)   # (d*hp, 3W)
+    acc = (out[:, :W].astype(jnp.int32)
+           + (out[:, W:2 * W].astype(jnp.int32) << 8)
+           + (out[:, 2 * W:].astype(jnp.int32) << 16))
+    return jnp.stack([lax.slice(acc, (p * hp, q * wq),
+                                ((p + 1) * hp, (q + 1) * wq))
+                      for (p, q) in keys])
+
+
 def _integral_mxu(src_u8: jnp.ndarray) -> jnp.ndarray:
     h, w = src_u8.shape
     return phase_integral(src_u8, 1, 0, 0)
