@@ -149,6 +149,54 @@ def _det_bz(a, b, c):
     return det                                        # (..., 11)
 
 
+def _nullspace4(Q):
+    """Basis of the 4-dim nullspace of batched (..., 5, 9) full-rank
+    systems via branch-free Gauss-Jordan with column pivoting — pure
+    elementwise math plus two tiny matmuls.  Replaces a batched
+    jnp.linalg.qr(mode="complete"), which costs tens of ms on TPU
+    (sequential Householder lowering) for the same 128-hypothesis
+    batch.  The basis is NOT orthonormal; the Nister parametrization
+    E = x E1 + y E2 + z E3 + E4 is valid for any nullspace basis
+    (degenerate E4-components are covered by the reversed root pass,
+    see _roots_dk).  Returns (..., 9, 4)."""
+    M = Q.astype(jnp.float32)
+    batch = M.shape[:-2]
+    avail = jnp.ones(batch + (9,), bool)
+    pivs = []
+    for i in range(5):
+        row = M[..., i, :]                                  # (..., 9)
+        a = jnp.where(avail, jnp.abs(row), -1.0)
+        p = (a == jnp.max(a, axis=-1, keepdims=True)).astype(M.dtype)
+        # break exact-abs ties: keep the first available max column
+        p = p * (jnp.cumsum(p, axis=-1) == 1.0)
+        v = jnp.sum(row * p, -1, keepdims=True)
+        v = jnp.where(jnp.abs(v) < 1e-25, 1e-25, v)
+        row = row / v
+        coef = jnp.sum(M * p[..., None, :], -1)             # (..., 5)
+        ei = jnp.zeros((5,), M.dtype).at[i].set(1.0)
+        coef = coef * (1.0 - ei)                            # skip row i
+        M = M - coef[..., None] * row[..., None, :]
+        # overwrite row i with its normalized form
+        M = jnp.where(ei[..., None] > 0, row[..., None, :], M)
+        pivs.append(p)
+        avail = avail & (p < 0.5)
+    P = jnp.stack(pivs, axis=-2)                            # (..., 5, 9)
+    F = avail.astype(M.dtype)                               # (..., 9)
+    # Nfull[c, f] = F-diag - sum_i P[i, c] * M[i, f], columns masked to
+    # F.  Both contractions are against one-hot selectors, so they must
+    # run at HIGHEST precision — the default matmul precision would
+    # round the selected M entries to bf16 and poison the basis.
+    hi = jax.lax.Precision.HIGHEST
+    Nfull = (jnp.eye(9, dtype=M.dtype) * F[..., None, :]
+             - jnp.einsum("...ic,...if->...cf", P, M,
+                          precision=hi) * F[..., None, :])
+    # compress the 4 free columns to a static (..., 9, 4) block
+    rank = jnp.cumsum(F, axis=-1) - 1.0
+    k4 = jnp.arange(4, dtype=M.dtype)
+    Sel = (F[..., :, None] * (rank[..., :, None] == k4)).astype(M.dtype)
+    return jnp.einsum("...cf,...fk->...ck", Nfull, Sel, precision=hi)
+
+
 def _dk_pass(c, n, ctype, n_iters):
     """One Durand-Kerner run on a batch of monic polynomials
     (coefficients c (..., n+1) high-to-low, c[..., 0] == 1)."""
@@ -204,8 +252,12 @@ def _roots_dk(coeffs, n_iters: int = 96):
         lead = jnp.where(jnp.abs(lead) < 1e-20, 1e-20, lead)
         return (c / lead).astype(ctype)
 
-    zf = _dk_pass(monic(cs), n, ctype, n_iters)
-    zw = _dk_pass(monic(cs[..., ::-1]), n, ctype, n_iters)
+    # one merged run on the stacked [forward; reversed] batch: halves
+    # the sequential iteration count vs two passes (the loop body is
+    # dispatch-bound at these tiny shapes, so wall time ~ iterations)
+    both = jnp.stack([monic(cs), monic(cs[..., ::-1])], axis=0)
+    zb = _dk_pass(both, n, ctype, n_iters)
+    zf, zw = zb[0], zb[1]
     zw_safe = jnp.where(jnp.abs(zw) < 1e-20, 1e-20, zw)
     z = jnp.concatenate([zf, 1.0 / zw_safe], axis=-1)  # (..., 2n)
     re, im = jnp.real(z), jnp.imag(z)
@@ -247,9 +299,9 @@ def five_point(x1, x2):
     one = jnp.ones_like(u1)
     Q = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2,
                    u1, v1, one], axis=-1)             # (..., 5, 9)
-    # 4-dim nullspace: last 4 columns of the complete QR factor of Q^T
-    qf, _ = jnp.linalg.qr(jnp.swapaxes(Q, -1, -2), mode="complete")
-    null = qf[..., 5:]                                # (..., 9, 4)
+    # 4-dim nullspace by branch-free Gauss-Jordan (any basis works for
+    # the Nister parametrization; batched QR costs tens of ms on TPU)
+    null = _nullspace4(Q)                             # (..., 9, 4)
     basis = jnp.swapaxes(null, -1, -2).reshape(*null.shape[:-2], 4, 3, 3)
 
     M = _constraint_matrix(basis)                     # (..., 10, 20)
