@@ -287,6 +287,67 @@ def _eval_poly(p, z):
     return acc
 
 
+def _mono20_grad(x, y, z):
+    """The 20 cubic monomials and their (x, y, z) partials at a batch of
+    points -> four (..., 20) arrays."""
+    vals, dxs, dys, dzs = [], [], [], []
+    zero = jnp.zeros_like(x)
+    for (i, j, k) in _MON20:
+        xi = x ** i if i else 1.0
+        yj = y ** j if j else 1.0
+        zk = z ** k if k else 1.0
+        one = jnp.ones_like(x)
+        vals.append(xi * yj * zk * one)
+        dxs.append(i * (x ** (i - 1) if i > 1 else 1.0) * yj * zk * one
+                   if i else zero)
+        dys.append(j * xi * (y ** (j - 1) if j > 1 else 1.0) * zk * one
+                   if j else zero)
+        dzs.append(k * xi * yj * (z ** (k - 1) if k > 1 else 1.0) * one
+                   if k else zero)
+    return (jnp.stack(vals, -1), jnp.stack(dxs, -1),
+            jnp.stack(dys, -1), jnp.stack(dzs, -1))
+
+
+def _inv3(A):
+    """Closed-form 3x3 inverse via cofactors, A (..., 3, 3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1)], -2)
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return co / det[..., None, None]
+
+
+def _gn_polish(M, x, y, z, iters: int = 8, lam: float = 1e-10):
+    """Gauss-Newton polish of candidate (x, y, z) on the original 10
+    cubic constraints r = M mono20(x,y,z).  The expanded degree-10
+    det B(z) loses ~3 digits to float32 coefficient cancellation; the
+    cubic system itself is well-conditioned near a solution, so a few
+    GN steps recover the accuracy the root extraction lost.  M (..., 10,
+    20) row-normalized; x, y, z (..., C) candidates."""
+    hi = jax.lax.Precision.HIGHEST
+    eye3 = lam * jnp.eye(3, dtype=M.dtype)
+    for _ in range(iters):
+        v, dx, dy, dz = _mono20_grad(x, y, z)
+        r = jnp.einsum("...qe,...ce->...cq", M, v, precision=hi)
+        Jx = jnp.einsum("...qe,...ce->...cq", M, dx, precision=hi)
+        Jy = jnp.einsum("...qe,...ce->...cq", M, dy, precision=hi)
+        Jz = jnp.einsum("...qe,...ce->...cq", M, dz, precision=hi)
+        J = jnp.stack([Jx, Jy, Jz], -1)                  # (..., C, 10, 3)
+        JtJ = jnp.einsum("...qi,...qj->...ij", J, J, precision=hi) + eye3
+        Jtr = jnp.einsum("...qi,...q->...i", J, r, precision=hi)
+        step = jnp.einsum("...ij,...j->...i", _inv3(JtJ), Jtr, precision=hi)
+        step = jnp.clip(step, -1.0, 1.0)
+        x = x - step[..., 0]
+        y = y - step[..., 1]
+        z = z - step[..., 2]
+    return x, y, z
+
+
 def five_point(x1, x2):
     """Essential matrices from 5 normalized correspondences.
 
@@ -302,9 +363,22 @@ def five_point(x1, x2):
     # 4-dim nullspace by branch-free Gauss-Jordan (any basis works for
     # the Nister parametrization; batched QR costs tens of ms on TPU)
     null = _nullspace4(Q)                             # (..., 9, 4)
+    # Orthonormalize the basis (modified Gram-Schmidt): the raw GJ basis
+    # can be wildly skewed, which poisons the float32 constraint matrix
+    # and the det B(z) expansion downstream.
+    ortho = []
+    for k in range(4):
+        v = null[..., k]
+        for u in ortho:
+            v = v - jnp.sum(v * u, -1, keepdims=True) * u
+        n = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
+        ortho.append(v / jnp.maximum(n, 1e-20))
+    null = jnp.stack(ortho, axis=-1)
     basis = jnp.swapaxes(null, -1, -2).reshape(*null.shape[:-2], 4, 3, 3)
 
     M = _constraint_matrix(basis)                     # (..., 10, 20)
+    rn = jnp.max(jnp.abs(M), axis=-1, keepdims=True)
+    M = M / jnp.maximum(rn, 1e-30)                    # row equilibration
     a, b, c = _bz_rows(M)
     det = _det_bz(a, b, c)                            # (..., 11)
     z, valid = _roots_dk(det)                         # (..., 10)
@@ -327,10 +401,31 @@ def five_point(x1, x2):
     w = jnp.where(jnp.abs(v[..., 2:]) > 1e-12, v[..., 2:], 1e-12)
     xy = v[..., :2] / w                                  # (..., 10, 2)
 
-    E = (xy[..., 0, None, None] * basis[..., None, 0, :, :]
-         + xy[..., 1, None, None] * basis[..., None, 1, :, :]
-         + z[..., None, None] * basis[..., None, 2, :, :]
+    # Gauss-Newton polish on the original cubic system (see _gn_polish).
+    # Garbage slots (invalid roots, near-zero w) can enter with huge
+    # coordinates and overflow the cubic monomials; clamp the entry point
+    # and keep the unpolished candidate wherever the polish went
+    # non-finite — those slots lose at scoring either way.
+    cx = jnp.clip(xy[..., 0], -1e4, 1e4)
+    cy = jnp.clip(xy[..., 1], -1e4, 1e4)
+    cz_ = jnp.clip(z, -1e4, 1e4)
+    px, py, pz = _gn_polish(M, cx, cy, cz_)
+    fin = jnp.isfinite(px) & jnp.isfinite(py) & jnp.isfinite(pz)
+    px = jnp.where(fin, px, xy[..., 0])
+    py = jnp.where(fin, py, xy[..., 1])
+    pz = jnp.where(fin, pz, z)
+
+    E = (px[..., None, None] * basis[..., None, 0, :, :]
+         + py[..., None, None] * basis[..., None, 1, :, :]
+         + pz[..., None, None] * basis[..., None, 2, :, :]
          + basis[..., None, 3, :, :])
     nrm = jnp.sqrt(jnp.sum(E * E, axis=(-1, -2), keepdims=True))
     E = E / jnp.maximum(nrm, 1e-12)
-    return E, valid
+    # Invalid root slots can carry inf/nan through the candidate math;
+    # replace them with a unit-norm placeholder and mark them invalid so
+    # downstream scoring stays finite.
+    fin_E = jnp.all(jnp.isfinite(E), axis=(-1, -2))
+    eyeE = jnp.broadcast_to(jnp.eye(3, dtype=E.dtype) / jnp.sqrt(3.0),
+                            E.shape)
+    E = jnp.where(fin_E[..., None, None], E, eyeE)
+    return E, valid & fin_E

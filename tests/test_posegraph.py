@@ -60,12 +60,16 @@ def test_dense_and_cg_solvers_agree(rng):
     assert float(jnp.abs(gc.t - ts).max()) < 1e-3
 
 
-def test_large_graph_cg(rng):
+def test_large_graph_cg():
     """KITTI-length trajectory (n=600 nodes + 30 loop closures): the
     matrix-free CG path must run in O(E) memory (the old one-hot
-    assembly needed a (4E, n^2) tensor ~ 5 GB here)."""
+    assembly needed a (4E, n^2) tensor ~ 5 GB here).
+
+    Uses a locally seeded rng: the session-scoped fixture's state
+    depends on which tests ran before, which made this instance (and
+    its convergence-after-5-LM-iters margin) vary per invocation."""
     n = 600
-    g, Rs, ts = _circle_graph(n, 30, rng)
+    g, Rs, ts = _circle_graph(n, 30, np.random.default_rng(7))
     err0 = float(jnp.abs(g.t - ts).max())
     go, costs = jax.jit(lambda g: optimize(g, n_iters=5))(g)
     err1 = float(jnp.abs(go.t - ts).max())
