@@ -153,6 +153,28 @@ class SurfConfig:
     def max_desc_span(self) -> int:
         return self._desc_bounds[1]
 
+    def desc_iradius_bound(self, span_lo: int, span_hi: int) -> int:
+        """Max descriptor iradius over reachable scales whose patch
+        half-extent ("span" = iradius*step + iscale + 1) falls in
+        (span_lo, span_hi].
+
+        Lets the Pallas descriptor kernels size their sample grids per
+        span bucket: large-span keypoints have step >= 4 and an iradius
+        of ~11-17, far below the global `max_iradius` (22 in the default
+        config, reached only by step-1 small-scale keypoints that the
+        shared-tile path handles).  +1 safety margin for the 0.01 scan
+        granularity (iradius is piecewise constant in scale with unit
+        jumps)."""
+        best = 0
+        s = 0.5
+        while s < self._max_scale_value:
+            step, iscale, rad = self._desc_geometry(s)
+            span = rad * step + iscale + 1
+            if span_lo < span <= span_hi:
+                best = max(best, rad)
+            s += 0.01
+        return best + 1
+
     @functools.cached_property
     def max_ori_span(self) -> int:
         """Patch half-extent bound for orientation sampling

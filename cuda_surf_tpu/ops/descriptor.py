@@ -85,7 +85,8 @@ def describe(ii: jnp.ndarray, cfg: SurfConfig,
             R=cfg.max_iradius, max_span=cfg.max_desc_span,
             cfg_s=(cfg.desc_wsz, cfg.orient_size, cfg.upright,
                    cfg.extended, ih, iw),
-            interpret=cfg.wavelet_method == "interpret")
+            interpret=cfg.wavelet_method == "interpret",
+            rad_bound_fn=cfg.desc_iradius_bound)
         return l2_normalize(rows[:, :cfg.nfeatures])
 
     pad = (-k) % chunk

@@ -81,13 +81,23 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
 
     Returns a list of (span_limit, E_r, E_c): keypoints whose sample
     footprint half-extent ("span" = irad*step + s + 1) is <= span_limit
-    get an (E_r, E_c) integral-image patch.  Extents double per bucket;
-    once the patch covers the whole (padded) image every span fits.
+    get an (E_r, E_c) integral-image patch.  Row extents double per
+    bucket; once the patch covers the whole (padded) image every span
+    fits.  Column extents are E_r + 128: the span limit is row-bound
+    (E_r/2 - 6 < E_c/2 - 66 already at E_c = E_r + 128), so wider
+    patches only added DMA traffic.  Once E_r covers the image height
+    the bucket snaps to the full padded image — its patch origin is
+    then constant, so the kernel can keep ONE resident copy instead of
+    a multi-MB DMA per keypoint.
     """
     specs = []
     e = 128
     while True:
-        er, ec = min(e, h_pad), min(2 * e, w_pad)
+        er = min(e, h_pad)
+        if er >= h_pad:
+            ec = w_pad
+        else:
+            ec = min(e + 128, w_pad)
         # The patch must hold rows/cols [i - span, i + span + 1] around
         # the keypoint: origins are pre-biased then aligned down to the
         # (8, 128) tile, leaving the keypoint within half a tile of
@@ -307,9 +317,9 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
     return desc[0]
 
 
-def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, row0,
+def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
             acc, sem, *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NB, NBUF,
-            RH, mode, cfg_s):
+            RH, mode, cfg_s, m_bits, shared):
     """One grid step processes up to CH keypoints.
 
     meta is (8, cap) int32 — rows [r0, c0, iyl, ixl, step, s, irad, _];
@@ -319,37 +329,52 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, row0,
     with dy at [0:R2, 0:R2] and dx at [RH:RH+R2, 0:R2]; mode "desc"
     (CH, 128) descriptor rows.
 
+    Stage A contracts the RAW integral-image patch: the dy/dx stencils
+    are zero-sum along both axes, so any per-row / per-column additive
+    offset cancels exactly through the two selection matmuls — no
+    anchoring pass is needed.  Limb counts follow the static bound
+    max(ii) < 2^m_bits (so the row-combined operand is < 2^(m_bits+1)).
+
     The patch is streamed in NB row bands of RC rows so even whole-image
     buckets (doubled mode) stay within VMEM: each band contributes its
-    row-combination partial A_band = Rw_band @ rel_band into the `acc`
+    row-combination partial A_band = Rw_band @ p_band into the `acc`
     scratch (the (2*RH, E_cp) row-combined matrix), and the column
     combinations run once from `acc` after the last band.  Band DMAs are
     double-buffered against compute across keypoints and bands.
+
+    `shared` marks the whole-image bucket (constant patch origin): the
+    image is copied into VMEM ONCE at grid step 0 and every keypoint
+    reads the resident copy — no per-keypoint DMA at all.
     """
     gid = pl.program_id(0)
     count = count_ref[0]
     base = gid * CH
     RW = 2 * RH
 
-    # `rel` entries are rectangle sums anchored at the patch origin
-    # (first row and column subtracted — both cancel exactly through the
-    # zero-sum stencils): <= 255 * E_rp * E_cp, and |A| <= 2 * max|rel|.
-    # Limb counts follow those static bounds (top limb stays <= 2^7).
-    rel_bits = (255 * E_rp * E_cp).bit_length()
-    m1_limbs = -(-rel_bits // 8)
-    m2_limbs = -(-(rel_bits + 1) // 8)
+    m1_limbs = -(-(m_bits + 1) // 8)
+    m2_limbs = -(-(m_bits + 2) // 8)
 
-    def dma(k, b, slot):
-        rows = min(RC, E_r - b * RC)   # b is static; last band is partial
-        r0 = pl.multiple_of(meta_ref[0, k], 8) + b * RC
-        c0 = pl.multiple_of(meta_ref[1, k], 128)
-        return pltpu.make_async_copy(
-            ii_ref.at[pl.ds(r0, rows), pl.ds(c0, E_c)],
-            patch.at[slot, pl.ds(0, rows), pl.ds(0, E_c)], sem.at[slot])
+    if shared:
+        @pl.when(gid == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                ii_ref, patch.at[0, pl.ds(0, E_r), pl.ds(0, E_c)],
+                sem.at[0])
+            cp.start()
+            cp.wait()
+    else:
+        def dma(k, b, slot):
+            rows = min(RC, E_r - b * RC)  # b static; last band is partial
+            r0 = pl.multiple_of(meta_ref[0, k], 8) + b * RC
+            c0 = pl.multiple_of(meta_ref[1, k], 128)
+            return pltpu.make_async_copy(
+                ii_ref.at[pl.ds(r0, rows), pl.ds(c0, E_c)],
+                patch.at[slot, pl.ds(0, rows), pl.ds(0, E_c)],
+                sem.at[slot])
 
-    @pl.when((gid == 0) & (count > 0))
-    def _():
-        dma(0, 0, 0).start()
+        @pl.when((gid == 0) & (count > 0))
+        def _():
+            dma(0, 0, 0).start()
 
     n_here = jnp.clip(count - base, 0, CH)
 
@@ -360,25 +385,26 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, row0,
                     meta_ref[5, k], meta_ref[6, k])
 
         for b in range(NB):
-            slot = lax.rem(q0 + b, NBUF)
-            nxt = lax.rem(q0 + b + 1, NBUF)
-            if b < NB - 1:
-                dma(k, b + 1, nxt).start()
+            if shared:
+                # band = rows [b*RC, (b+1)*RC) of the resident copy
+                band = patch[0, b * RC:(b + 1) * RC]
             else:
-                # last band: prefetch the next keypoint's first band
-                @pl.when(k + 1 < count)
-                def _():
-                    dma(k + 1, 0, nxt).start()
-            dma(k, b, slot).wait()
-            if b == 0:
-                row0[0:1] = patch[slot, 0:1]
+                slot = lax.rem(q0 + b, NBUF)
+                nxt = lax.rem(q0 + b + 1, NBUF)
+                if b < NB - 1:
+                    dma(k, b + 1, nxt).start()
+                else:
+                    # last band: prefetch the next keypoint's first band
+                    @pl.when(k + 1 < count)
+                    def _():
+                        dma(k + 1, 0, nxt).start()
+                dma(k, b, slot).wait()
+                band = patch[slot]
             Rw = _row_weights(b * RC, iscalars, R=R, RH=RH, RC=RC)
             for ci in range(E_cp // CC):
                 cc = ci * CC
-                pc = patch[slot, :, cc:cc + CC]
-                pb = patch[slot, :, 0:1]
-                rel = (pc - pb) - (row0[0:1, cc:cc + CC] - row0[0:1, 0:1])
-                contrib = _dot_limbs(rel, Rw, m1_limbs, left=True)
+                pc = band[:, cc:cc + CC]
+                contrib = _dot_limbs(pc, Rw, m1_limbs, left=True)
                 if b == 0:
                     acc[:, cc:cc + CC] = contrib
                 else:
@@ -420,20 +446,29 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch, row0,
 
 
 def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
-                 interpret, mode, cfg_s):
+                 interpret, mode, cfg_s, shared=False):
     R2 = 2 * R + 1
     RH = _round_up(R2, 8)
-    RC, CC = min(E_r, 256), min(E_c, 512)
+    h_pad, w_pad = ii_pad.shape
+    m_bits = (255 * h_pad * w_pad).bit_length()
+    if shared:
+        assert E_r == h_pad and E_c == w_pad
+        NBUF = 1
+    RC = min(E_r, 256)
+    # one column chunk when it fits (E_c is always a 128-multiple);
+    # chunking only exists to bound the doubled-mode whole-image case
+    CC = E_c if E_c <= 1536 else 512
     E_rp, E_cp = _round_up(E_r, RC), _round_up(E_c, CC)
     NB = E_rp // RC
     CH = 32 if E_r * E_c <= 512 * 512 else 8
     cap = _round_up(cap, CH)
     band_bytes = RC * E_cp * 4
-    NBUF = 4 if 4 * band_bytes <= 6 * 1024 * 1024 else 2
+    if not shared:
+        NBUF = 4 if 4 * band_bytes <= 6 * 1024 * 1024 else 2
     kernel = functools.partial(
         _kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
         RC=RC, CC=CC, CH=CH, NB=NB, NBUF=NBUF, RH=RH, mode=mode,
-        cfg_s=cfg_s)
+        cfg_s=cfg_s, m_bits=m_bits, shared=shared)
     if mode == "grids":
         out_block, out_shape = (CH, 2 * RH, 128), (cap, 2 * RH, 128)
         out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0, 0),
@@ -448,13 +483,14 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((NBUF, RC, E_cp), jnp.int32),
-            pltpu.VMEM((8, E_cp), jnp.int32),
+            pltpu.VMEM((1, E_rp, E_cp) if shared else (NBUF, RC, E_cp),
+                       jnp.int32),
             pltpu.VMEM((2 * RH, E_cp), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    vmem_limit = min(NBUF * band_bytes + (2 * RH + 8) * E_cp * 4
+    patch_bytes = (E_rp * E_cp if shared else NBUF * RC * E_cp) * 4
+    vmem_limit = min(patch_bytes + 2 * RH * E_cp * 4
                      + 8 * 2 ** 20, 15 * 2 ** 20)
     return pl.pallas_call(
         kernel,
@@ -467,10 +503,17 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
 
 def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                   R, max_span, mode, cfg_s=None, caps=None,
-                  interpret=False):
+                  interpret=False, rad_bounds=None):
     """Shared bucketing orchestration: sort keypoints by patch span,
     run one pallas_call per bucket, reassemble in original order.
-    Returns (K, ...) rows (grids: (K, 2*RH, 128); desc: (K, 128))."""
+    Returns (K, ...) rows (grids: (K, 2*RH, 128); desc: (K, 128)).
+
+    `rad_bounds` (desc mode only, one entry per bucket spec): a static
+    iradius bound for the keypoints routable to each bucket — shrinks
+    the per-bucket sample-grid height (and every matmul M-dim) below
+    the global `R` where the span range allows it.  Grids mode keeps
+    the global R: its output rows are shaped by it."""
+    assert rad_bounds is None or mode == "desc"
     K = ix.shape[0]
     R2 = 2 * R + 1
     RH = _round_up(R2, 8)
@@ -525,6 +568,12 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
 
     for b, (lim, E_r, E_c) in enumerate(specs):
         cap = caps[b]
+        R_b = R if rad_bounds is None else max(1, min(R, rad_bounds[b]))
+        # constant-origin whole-image bucket -> keep ONE resident copy,
+        # if it fits VMEM (doubled-mode images don't: those keep the
+        # banded per-keypoint streaming)
+        shared = (E_r >= h_pad and E_c >= w_pad
+                  and E_r * E_c * 4 <= 8 * 2 ** 20)
         sel = lax.dynamic_slice(sel_all, (starts[b],), (cap,))
         byi = jnp.take(iy, sel)
         bxi = jnp.take(ix, sel)
@@ -540,9 +589,9 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         ], axis=0)
         fpar = jnp.take(fparams, sel, axis=1)
         count = jnp.minimum(cnts[b], cap).reshape(1)
-        out = _bucket_call(ii_pad, count, meta, fpar, R=R, E_r=E_r,
+        out = _bucket_call(ii_pad, count, meta, fpar, R=R_b, E_r=E_r,
                            E_c=E_c, cap=cap, interpret=interpret,
-                           mode=mode, cfg_s=cfg_s)
+                           mode=mode, cfg_s=cfg_s, shared=shared)
         sorted_out = lax.dynamic_update_slice(
             sorted_out, out[:cap], (starts[b],) + (0,) * len(row_shape))
 
@@ -810,7 +859,8 @@ def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
 
 
 def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
-                    R, max_span, cfg_s, caps=None, interpret=False):
+                    R, max_span, cfg_s, caps=None, interpret=False,
+                    rad_bound_fn=None):
     """Full in-kernel SURF descriptors: (K, 128) unnormalized rows
     (features in lanes [0, wsz*wsz*osz)).  fparams is (8, K) float32
     rows [fracr, fracc, spacing, sine, cose]; cfg_s is the static
@@ -820,7 +870,13 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     cover them (level 0 takes all of octave 0, level 1 octaves 1-2 in
     the default config; one tile DMA serves ~100 keypoints); the rest
     go through the span-bucketed per-keypoint kernel.  The paths return
-    rows on complementary masks."""
+    rows on complementary masks.
+
+    `rad_bound_fn(span_lo, span_hi) -> int` (optional, from
+    SurfConfig.desc_iradius_bound): a static iradius bound per span
+    range, used to size each fallback bucket's sample grid below the
+    global R (large-span keypoints have step >= 4 and iradius well
+    under the step-1 worst case)."""
     span = irad * step + iscale + 1
     remaining = valid
     rows = None
@@ -833,8 +889,16 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         if max_span <= span_cap:
             break
     if max_span > _LEVELS[0][4]:
+        rad_bounds = None
+        if rad_bound_fn is not None:
+            h, w = ii.shape
+            h_pad, w_pad = _round_up(h, 8), _round_up(w, 128)
+            span_lo = _LEVELS[0][4]
+            rad_bounds = [rad_bound_fn(span_lo, min(lim, max_span))
+                          for (lim, _, _) in
+                          bucket_specs(h_pad, w_pad, max_span)]
         rows = rows + _run_bucketed(
             ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,
             max_span=max_span, mode="desc", cfg_s=cfg_s, caps=caps,
-            interpret=interpret)
+            interpret=interpret, rad_bounds=rad_bounds)
     return rows
