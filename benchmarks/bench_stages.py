@@ -29,6 +29,7 @@ from cuda_surf_tpu.frontend import detect_and_compute
 from cuda_surf_tpu.ops.integral import integral_image
 from cuda_surf_tpu.ops.hessian import response_pyramid
 from cuda_surf_tpu.ops.extrema import detect
+from cuda_surf_tpu.ops.fused_detect import fused_pyramid, use_fused
 from cuda_surf_tpu.ops.matcher import match_keypoints
 
 DATA = "/root/reference/data"
@@ -46,15 +47,27 @@ def main():
     h, w = img.shape
     sched = cfg.hessian_schedule(h, w)
 
+    fused = use_fused(cfg)
+
     def s_integral(im):
         return integral_image(im)
 
+    # pyramid/detect rows follow the REAL frontend path: the fused
+    # Pallas kernel on TPU (pyramid+NMS in one pass), XLA elsewhere.
     def s_pyramid(im):
-        return response_pyramid(integral_image(im), cfg, h, w, img=im)
+        ii = integral_image(im)
+        if fused:
+            pyr, masks = fused_pyramid(im, cfg, h, w)
+            return ii, pyr, masks
+        return ii, response_pyramid(ii, cfg, h, w, img=im)
 
     def s_detect(im):
-        pyr = response_pyramid(integral_image(im), cfg, h, w, img=im)
-        return detect(pyr, sched, cfg)
+        ii = integral_image(im)
+        if fused:
+            pyr, masks = fused_pyramid(im, cfg, h, w)
+            return ii, detect(pyr, sched, cfg, cand_masks=masks)
+        pyr = response_pyramid(ii, cfg, h, w, img=im)
+        return ii, detect(pyr, sched, cfg)
 
     def s_keypoints(im):
         return detect_and_compute(im, cfg, compute_descriptors=False)
