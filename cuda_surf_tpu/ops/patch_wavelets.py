@@ -76,7 +76,8 @@ def use_pallas(cfg) -> bool:
     return m in ("pallas", "interpret")
 
 
-def bucket_specs(h_pad: int, w_pad: int, max_span: int):
+def bucket_specs(h_pad: int, w_pad: int, max_span: int,
+                 resident: bool = False):
     """Static per-bucket patch shapes.
 
     Returns a list of (span_limit, E_r, E_c): keypoints whose sample
@@ -89,9 +90,15 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
     the bucket snaps to the full padded image — its patch origin is
     then constant, so the kernel can keep ONE resident copy instead of
     a multi-MB DMA per keypoint.
+
+    `resident` (whole-image limb planes VMEM-resident, see `_kernel`):
+    the patch is a dynamic slice of int8 planes whose sublane tile is
+    32, so row origins align down to 32 instead of 8 — the guaranteed
+    row margin shrinks to E_r/2 - 16.
     """
     specs = []
     e = 128
+    rmargin = 17 if resident else 6
     while True:
         er = min(e, h_pad)
         if er >= h_pad:
@@ -100,9 +107,9 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
             ec = min(e + 128, w_pad)
         # The patch must hold rows/cols [i - span, i + span + 1] around
         # the keypoint: origins are pre-biased then aligned down to the
-        # (8, 128) tile, leaving the keypoint within half a tile of
+        # tile boundary, leaving the keypoint within half a tile of
         # centre, so each margin is at least E/2 - tile/2 - 2.
-        lim_r = 10 ** 9 if er >= h_pad else er // 2 - 6
+        lim_r = 10 ** 9 if er >= h_pad else er // 2 - rmargin
         lim_c = 10 ** 9 if ec >= w_pad else ec // 2 - 66
         lim = min(lim_r, lim_c)
         specs.append((lim, er, ec))
@@ -110,6 +117,30 @@ def bucket_specs(h_pad: int, w_pad: int, max_span: int):
             break
         e *= 2
     return specs
+
+
+# Whole-image int8 limb planes are kept VMEM-resident (instead of
+# per-keypoint patch DMAs) when they fit this budget; the rest of the
+# 16 MB VMEM holds the stage-B accumulator, weights and output block.
+_RESIDENT_BYTES = 10 * 2 ** 20
+
+
+def _image_limbs(ii_pad: jnp.ndarray, m1: int) -> jnp.ndarray:
+    """Balanced base-256 digit planes of the integral image, (m1, H, W)
+    int8 — computed ONCE per frame in XLA so the bucket kernels contract
+    them directly (the per-keypoint in-kernel decomposition of streamed
+    int32 patches was ~1.4 us/keypoint of VPU work on the big buckets).
+    """
+    t = ii_pad
+    limbs = []
+    for li in range(m1):
+        if li == m1 - 1:
+            d = t
+        else:
+            d = ((t & 255) ^ 128) - 128
+            t = (t - d) >> 8
+        limbs.append(d.astype(jnp.int8))
+    return jnp.stack(limbs)
 
 
 def _dot_limbs(xi, w, limbs, left=False):
@@ -319,7 +350,7 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
 
 def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
             acc, sem, *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NB, NBUF,
-            RH, mode, cfg_s, m_bits, shared):
+            RH, mode, cfg_s, m_bits, shared, resident):
     """One grid step processes up to CH keypoints.
 
     meta is (8, cap) int32 — rows [r0, c0, iyl, ixl, step, s, irad, _];
@@ -345,6 +376,13 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
     `shared` marks the whole-image bucket (constant patch origin): the
     image is copied into VMEM ONCE at grid step 0 and every keypoint
     reads the resident copy — no per-keypoint DMA at all.
+
+    `resident` goes further: ii_ref holds the image's PRE-DECOMPOSED
+    int8 limb planes (m1, h_pad, w_pad), copied into VMEM once at grid
+    step 0; every keypoint's stage A is a direct int8 matmul against a
+    dynamic (E_r, E_c) slice of the resident planes — no per-keypoint
+    DMA and no per-keypoint limb extraction.  Slice row origins are
+    32-aligned (the int8 sublane tile).
     """
     gid = pl.program_id(0)
     count = count_ref[0]
@@ -354,11 +392,13 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
     m1_limbs = -(-(m_bits + 1) // 8)
     m2_limbs = -(-(m_bits + 2) // 8)
 
-    if shared:
+    if resident or shared:
         @pl.when(gid == 0)
         def _():
             cp = pltpu.make_async_copy(
-                ii_ref, patch.at[0, pl.ds(0, E_r), pl.ds(0, E_c)],
+                ii_ref,
+                patch if resident
+                else patch.at[0, pl.ds(0, E_r), pl.ds(0, E_c)],
                 sem.at[0])
             cp.start()
             cp.wait()
@@ -384,31 +424,48 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
         iscalars = (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
                     meta_ref[5, k], meta_ref[6, k])
 
-        for b in range(NB):
-            if shared:
-                # band = rows [b*RC, (b+1)*RC) of the resident copy
-                band = patch[0, b * RC:(b + 1) * RC]
-            else:
-                slot = lax.rem(q0 + b, NBUF)
-                nxt = lax.rem(q0 + b + 1, NBUF)
-                if b < NB - 1:
-                    dma(k, b + 1, nxt).start()
+        if resident:
+            # stage A straight off the resident limb planes: one int8
+            # matmul per limb against the keypoint's (E_r, E_c) window
+            r0 = pl.multiple_of(meta_ref[0, k], 32)
+            c0 = pl.multiple_of(meta_ref[1, k], 128)
+            Rw = _row_weights(0, iscalars, R=R, RH=RH,
+                              RC=E_r).astype(jnp.int8)
+            for li in range(m1_limbs):
+                sl = patch[li, pl.ds(r0, E_r), pl.ds(c0, E_c)]
+                dd = lax.dot_general(Rw, sl, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                if li == 0:
+                    acc[:, 0:E_c] = dd
                 else:
-                    # last band: prefetch the next keypoint's first band
-                    @pl.when(k + 1 < count)
-                    def _():
-                        dma(k + 1, 0, nxt).start()
-                dma(k, b, slot).wait()
-                band = patch[slot]
-            Rw = _row_weights(b * RC, iscalars, R=R, RH=RH, RC=RC)
-            for ci in range(E_cp // CC):
-                cc = ci * CC
-                pc = band[:, cc:cc + CC]
-                contrib = _dot_limbs(pc, Rw, m1_limbs, left=True)
-                if b == 0:
-                    acc[:, cc:cc + CC] = contrib
+                    acc[:, 0:E_c] = acc[:, 0:E_c] + (dd << (8 * li))
+        else:
+            for b in range(NB):
+                if shared:
+                    # band = rows [b*RC, (b+1)*RC) of the resident copy
+                    band = patch[0, b * RC:(b + 1) * RC]
                 else:
-                    acc[:, cc:cc + CC] = acc[:, cc:cc + CC] + contrib
+                    slot = lax.rem(q0 + b, NBUF)
+                    nxt = lax.rem(q0 + b + 1, NBUF)
+                    if b < NB - 1:
+                        dma(k, b + 1, nxt).start()
+                    else:
+                        # last band: prefetch the next keypoint's first
+                        # band
+                        @pl.when(k + 1 < count)
+                        def _():
+                            dma(k + 1, 0, nxt).start()
+                    dma(k, b, slot).wait()
+                    band = patch[slot]
+                Rw = _row_weights(b * RC, iscalars, R=R, RH=RH, RC=RC)
+                for ci in range(E_cp // CC):
+                    cc = ci * CC
+                    pc = band[:, cc:cc + CC]
+                    contrib = _dot_limbs(pc, Rw, m1_limbs, left=True)
+                    if b == 0:
+                        acc[:, cc:cc + CC] = contrib
+                    else:
+                        acc[:, cc:cc + CC] = acc[:, cc:cc + CC] + contrib
 
         G = jnp.zeros((RW, 128), jnp.int32)
         for ci in range(E_cp // CC):
@@ -446,15 +503,22 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
 
 
 def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
-                 interpret, mode, cfg_s, shared=False):
+                 interpret, mode, cfg_s, shared=False, limbs8=None):
+    resident = limbs8 is not None
     R2 = 2 * R + 1
     RH = _round_up(R2, 8)
-    h_pad, w_pad = ii_pad.shape
+    if resident:
+        m1, h_pad, w_pad = limbs8.shape
+    else:
+        h_pad, w_pad = ii_pad.shape
     m_bits = (255 * h_pad * w_pad).bit_length()
+    if resident:
+        assert m1 == -(-(m_bits + 1) // 8)
+        NBUF = 1
     if shared:
         assert E_r == h_pad and E_c == w_pad
         NBUF = 1
-    RC = min(E_r, 256)
+    RC = E_r if resident else min(E_r, 256)
     # one column chunk when it fits (E_c is always a 128-multiple);
     # chunking only exists to bound the doubled-mode whole-image case
     CC = E_c if E_c <= 1536 else 512
@@ -463,12 +527,12 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
     CH = 32 if E_r * E_c <= 512 * 512 else 8
     cap = _round_up(cap, CH)
     band_bytes = RC * E_cp * 4
-    if not shared:
+    if not (shared or resident):
         NBUF = 4 if 4 * band_bytes <= 6 * 1024 * 1024 else 2
     kernel = functools.partial(
         _kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
         RC=RC, CC=CC, CH=CH, NB=NB, NBUF=NBUF, RH=RH, mode=mode,
-        cfg_s=cfg_s, m_bits=m_bits, shared=shared)
+        cfg_s=cfg_s, m_bits=m_bits, shared=shared, resident=resident)
     if mode == "grids":
         out_block, out_shape = (CH, 2 * RH, 128), (cap, 2 * RH, 128)
         out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0, 0),
@@ -477,19 +541,26 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
         out_block, out_shape = (CH, 128), (cap, 128)
         out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
+    if resident:
+        patch_scratch = pltpu.VMEM((m1, h_pad, w_pad), jnp.int8)
+        patch_bytes = m1 * h_pad * w_pad
+    elif shared:
+        patch_scratch = pltpu.VMEM((1, E_rp, E_cp), jnp.int32)
+        patch_bytes = E_rp * E_cp * 4
+    else:
+        patch_scratch = pltpu.VMEM((NBUF, RC, E_cp), jnp.int32)
+        patch_bytes = NBUF * RC * E_cp * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cap // CH,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((1, E_rp, E_cp) if shared else (NBUF, RC, E_cp),
-                       jnp.int32),
+            patch_scratch,
             pltpu.VMEM((2 * RH, E_cp), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    patch_bytes = (E_rp * E_cp if shared else NBUF * RC * E_cp) * 4
     vmem_limit = min(patch_bytes + 2 * RH * E_cp * 4
                      + 8 * 2 ** 20, 15 * 2 ** 20)
     return pl.pallas_call(
@@ -498,31 +569,57 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(count, meta, fpar, ii_pad)
+    )(count, meta, fpar, limbs8 if resident else ii_pad)
 
 
 def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                   R, max_span, mode, cfg_s=None, caps=None,
-                  interpret=False, rad_bounds=None):
+                  interpret=False, rad_bound_fn=None, span_lo=0,
+                  min_span=0, resident=None):
     """Shared bucketing orchestration: sort keypoints by patch span,
     run one pallas_call per bucket, reassemble in original order.
     Returns (K, ...) rows (grids: (K, 2*RH, 128); desc: (K, 128)).
 
-    `rad_bounds` (desc mode only, one entry per bucket spec): a static
+    `rad_bound_fn(span_lo, span_hi) -> int` (desc mode only): a static
     iradius bound for the keypoints routable to each bucket — shrinks
     the per-bucket sample-grid height (and every matmul M-dim) below
     the global `R` where the span range allows it.  Grids mode keeps
-    the global R: its output rows are shaped by it."""
-    assert rad_bounds is None or mode == "desc"
+    the global R: its output rows are shaped by it.
+
+    `min_span`: a static guarantee that every valid keypoint has
+    span > min_span (the caller routed smaller spans elsewhere) —
+    buckets whose limit falls below it are dropped instead of running
+    empty pallas_calls.
+
+    `resident` (None = auto by VMEM budget): keep the whole image's
+    int8 limb planes VMEM-resident and slice per-keypoint windows from
+    them — no per-keypoint patch DMA and no in-kernel limb extraction.
+    Doubled-mode images exceed the budget and keep the streaming path.
+    """
+    assert rad_bound_fn is None or mode == "desc"
     K = ix.shape[0]
     R2 = 2 * R + 1
     RH = _round_up(R2, 8)
     h, w = ii.shape
-    h_pad, w_pad = _round_up(h, 8), _round_up(w, 128)
+    w_pad = _round_up(w, 128)
+    h_pad32 = _round_up(h, 32)
+    m_bits = (255 * h_pad32 * w_pad).bit_length()
+    m1 = -(-(m_bits + 1) // 8)
+    if resident is None:
+        resident = m1 * h_pad32 * w_pad <= _RESIDENT_BYTES
+    h_pad = h_pad32 if resident else _round_up(h, 8)
     ii_pad = jnp.pad(ii, ((0, h_pad - h), (0, w_pad - w)))
+    limbs8 = _image_limbs(ii_pad, m1) if resident else None
 
-    specs = bucket_specs(h_pad, w_pad, max_span)
+    specs = bucket_specs(h_pad, w_pad, max_span, resident=resident)
+    # drop buckets no valid keypoint can route to (span > min_span);
+    # keep the last spec unconditionally (it accepts every span)
+    specs = [s for s in specs[:-1] if s[0] > min_span] + [specs[-1]]
     nb = len(specs)
+    rad_bounds = None
+    if rad_bound_fn is not None:
+        rad_bounds = [rad_bound_fn(span_lo, min(lim, max_span))
+                      for (lim, _, _) in specs]
     if caps is None:
         caps = [max(K >> b, 128) for b in range(nb)]
     caps = [_round_up(min(c, _round_up(K, 16)), 16) for c in caps]
@@ -572,15 +669,18 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         # constant-origin whole-image bucket -> keep ONE resident copy,
         # if it fits VMEM (doubled-mode images don't: those keep the
         # banded per-keypoint streaming)
-        shared = (E_r >= h_pad and E_c >= w_pad
+        shared = (not resident and E_r >= h_pad and E_c >= w_pad
                   and E_r * E_c * 4 <= 8 * 2 ** 20)
         sel = lax.dynamic_slice(sel_all, (starts[b],), (cap,))
         byi = jnp.take(iy, sel)
         bxi = jnp.take(ix, sel)
         # Centre the patch on the keypoint with the tile-alignment bias
         # folded in BEFORE rounding down, so both margins keep at least
-        # E/2 - tile/2 usable extent (see bucket_specs limits).
-        r0 = (jnp.clip(byi - E_r // 2 + 4, 0, h_pad - E_r) // 8) * 8
+        # E/2 - tile/2 usable extent (see bucket_specs limits).  The
+        # resident int8 planes have a (32, 128) tile: align rows to 32.
+        ra = 32 if resident else 8
+        r0 = (jnp.clip(byi - E_r // 2 + ra // 2, 0, h_pad - E_r)
+              // ra) * ra
         c0 = (jnp.clip(bxi - E_c // 2 + 64, 0, w_pad - E_c) // 128) * 128
         meta = jnp.stack([
             r0, c0, byi - r0, bxi - c0,
@@ -591,7 +691,8 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         count = jnp.minimum(cnts[b], cap).reshape(1)
         out = _bucket_call(ii_pad, count, meta, fpar, R=R_b, E_r=E_r,
                            E_c=E_c, cap=cap, interpret=interpret,
-                           mode=mode, cfg_s=cfg_s, shared=shared)
+                           mode=mode, cfg_s=cfg_s, shared=shared,
+                           limbs8=limbs8)
         sorted_out = lax.dynamic_update_slice(
             sorted_out, out[:cap], (starts[b],) + (0,) * len(row_shape))
 
@@ -837,7 +938,7 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
 
 
 def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
-                  caps=None, interpret=False):
+                  caps=None, interpret=False, resident=None):
     """Haar dy/dx on each keypoint's (2R+1)^2 sample grid.
 
     ii: (H, W) int32 zero-padded integral image.  Per-keypoint int32
@@ -854,7 +955,7 @@ def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
     fparams = jnp.zeros((8, K), jnp.float32)
     G = _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams,
                       R=R, max_span=max_span, mode="grids", caps=caps,
-                      interpret=interpret)
+                      interpret=interpret, resident=resident)
     return G[:, :R2, :R2], G[:, RH:RH + R2, :R2]
 
 
@@ -889,16 +990,10 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         if max_span <= span_cap:
             break
     if max_span > _LEVELS[0][4]:
-        rad_bounds = None
-        if rad_bound_fn is not None:
-            h, w = ii.shape
-            h_pad, w_pad = _round_up(h, 8), _round_up(w, 128)
-            span_lo = _LEVELS[0][4]
-            rad_bounds = [rad_bound_fn(span_lo, min(lim, max_span))
-                          for (lim, _, _) in
-                          bucket_specs(h_pad, w_pad, max_span)]
+        span_lo = _LEVELS[0][4]
         rows = rows + _run_bucketed(
             ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,
             max_span=max_span, mode="desc", cfg_s=cfg_s, caps=caps,
-            interpret=interpret, rad_bounds=rad_bounds)
+            interpret=interpret, rad_bound_fn=rad_bound_fn,
+            span_lo=span_lo, min_span=span_lo)
     return rows

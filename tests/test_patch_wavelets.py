@@ -103,6 +103,37 @@ def test_bucket_overflow_cascades(rng):
     np.testing.assert_array_equal(dx_ovf, dx_full)
 
 
+def test_streaming_path_matches_resident(rng):
+    """The banded-DMA streaming kernel (used when the image's limb
+    planes exceed the VMEM budget, e.g. doubled mode at full res) and
+    the resident-limb kernel return identical grids."""
+    img = rng.integers(0, 256, (120, 200), np.uint8)
+    iij = jnp.asarray(_integral(img).astype(np.int32))
+
+    K, R = 16, 8
+    ix = rng.integers(10, 190, K).astype(np.int32)
+    iy = rng.integers(10, 110, K).astype(np.int32)
+    step = rng.integers(1, 5, K).astype(np.int32)
+    iscale = (2 * step + rng.integers(0, 3, K)).astype(np.int32)
+    irad = rng.integers(4, R + 1, K).astype(np.int32)
+    valid = np.ones(K, bool)
+    valid[-1] = False
+    max_span = int((irad * step + iscale + 1).max())
+
+    def run(res):
+        dy, dx = jax.jit(lambda *a: wavelet_grids(
+            *a, R=R, max_span=max_span, interpret=True, resident=res))(
+            iij, jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(step),
+            jnp.asarray(iscale), jnp.asarray(irad), jnp.asarray(valid))
+        return np.asarray(dy), np.asarray(dx)
+
+    dy_r, dx_r = run(True)
+    dy_s, dx_s = run(False)
+    assert np.any(dy_r != 0)
+    np.testing.assert_array_equal(dy_s, dy_r)
+    np.testing.assert_array_equal(dx_s, dx_r)
+
+
 def test_bucket_specs_cover_span():
     specs = bucket_specs(968, 1408, 511)
     assert specs[-1][0] >= 511
