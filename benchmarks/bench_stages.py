@@ -39,6 +39,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--image", default=f"{DATA}/left.pgm")
+    ap.add_argument("--batch", type=int, default=0, metavar="B",
+                    help="profile detect_and_compute_batch's stages at "
+                         "batch size B instead of the single-frame path")
     args = ap.parse_args()
 
     cfg = SurfConfig(noctaves=4, thresh=4.0, upright=True, max_pts=4096,
@@ -48,6 +51,8 @@ def main():
     sched = cfg.hessian_schedule(h, w)
 
     fused = use_fused(cfg)
+    if args.batch:
+        return batch_stages(cfg, img, args)
 
     def s_integral(im):
         return integral_image(im)
@@ -107,6 +112,67 @@ def main():
     for row in rows:
         print(json.dumps({"metric": "stage_ms", **row,
                           "device": str(jax.devices()[0])}))
+
+
+def batch_stages(cfg, img, args):
+    """Incremental-variant stage timings for the batched pipeline
+    (detect_and_compute_batch) at batch size B, per frame."""
+    import numpy as np
+    from cuda_surf_tpu.frontend import (_detect_frame, _make_keypoints,
+                                        detect_and_compute_batch)
+    from cuda_surf_tpu.ops.extrema import detect as _detect
+
+    B = args.batch
+    imgs = jnp.stack([img] * B)
+    sched = cfg.hessian_schedule(*img.shape)
+
+    def upto_pyr(ims):
+        iis, pyrs, masks = [], [], []
+        for f in range(B):
+            ii_f, pyr_f, m_f, _ = _detect_frame(ims[f], cfg)
+            iis.append(ii_f); pyrs.append(pyr_f); masks.append(m_f)
+        ii = jnp.stack(iis)
+        pyr_b = [jnp.stack([pyrs[f][o] for f in range(B)])
+                 for o in range(cfg.noctaves)]
+        mask_b = ([jnp.stack([masks[f][o] for f in range(B)])
+                   for o in range(cfg.noctaves)]
+                  if masks[0] is not None else None)
+        return ii, pyr_b, mask_b
+
+    def upto_detect(ims):
+        ii, pyr_b, mask_b = upto_pyr(ims)
+        if mask_b is not None:
+            cand = jax.vmap(
+                lambda p, m: _detect(p, sched, cfg, cand_masks=m))(
+                    pyr_b, mask_b)
+        else:
+            cand = jax.vmap(lambda p: _detect(p, sched, cfg))(pyr_b)
+        return ii, cand
+
+    def upto_kp(ims):
+        ii, cand = upto_detect(ims)
+        return jax.vmap(lambda i2, c: _make_keypoints(i2, c, cfg))(ii, cand)
+
+    def full(ims):
+        return detect_and_compute_batch(ims, cfg)
+
+    stages = [("b_pyramid", upto_pyr), ("b_detect", upto_detect),
+              ("b_keypoints", upto_kp), ("b_full", full)]
+    prev = 0.0
+    for name, fn in stages:
+        f = jax.jit(fn)
+        r = f(imgs)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(args.iters):
+            r = f(imgs)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        ms = (time.time() - t0) / args.iters * 1e3 / B
+        print(json.dumps({"metric": "stage_ms_per_frame", "stage": name,
+                          "B": B, "cumulative_ms": round(ms, 3),
+                          "stage_ms": round(ms - prev, 3),
+                          "device": str(jax.devices()[0])}), flush=True)
+        prev = ms
 
 
 if __name__ == "__main__":

@@ -42,8 +42,16 @@ from .patch_wavelets import descriptor_rows, use_pallas
 def describe(ii: jnp.ndarray, cfg: SurfConfig,
              x: jnp.ndarray, y: jnp.ndarray, scale: jnp.ndarray,
              ori: jnp.ndarray, valid: jnp.ndarray,
-             chunk: int = 256) -> jnp.ndarray:
-    """-> (K, nfeatures) float32 L2-normalized descriptors."""
+             chunk: int = 256, row_base=None,
+             frame_hw=None, slab=None, nframes=None) -> jnp.ndarray:
+    """-> (K, nfeatures) float32 L2-normalized descriptors.
+
+    `row_base` (K,) int32 + `frame_hw` (ih, iw): frame-stacked mode —
+    `ii` holds B frames' integral images stacked vertically at
+    `row_base` offsets (x/y stay frame-local); border checks run on
+    frame-local coordinates against `frame_hw`, sampling on the stacked
+    rows.  Used by the batched frontend to describe all frames'
+    keypoints in one set of kernel calls."""
     k = x.shape[0]
     n = cfg.desc_grid
 
@@ -71,37 +79,42 @@ def describe(ii: jnp.ndarray, cfg: SurfConfig,
         fracr = cose * fracy + sine * fracx
         fracc = -sine * fracy + cose * fracx
 
+    ih, iw = frame_hw if frame_hw is not None else ii.shape
     if use_pallas(cfg):
         # full in-kernel path: wavelet sampling AND bilinear binning run
         # inside the Pallas patch kernel, emitting one descriptor row per
         # keypoint (384x less HBM traffic than shipping sample grids).
-        ih, iw = ii.shape
         fparams = jnp.stack([
             fracr, fracc, spacing, sine, cose,
             jnp.zeros_like(fracr), jnp.zeros_like(fracr),
             jnp.zeros_like(fracr)], axis=0)
+        iy_g = iy if row_base is None else iy + row_base
         rows = descriptor_rows(
-            ii, ix, iy, step, iscale, iradius, valid, fparams,
+            ii, ix, iy_g, step, iscale, iradius, valid, fparams,
             R=cfg.max_iradius, max_span=cfg.max_desc_span,
             cfg_s=(cfg.desc_wsz, cfg.orient_size, cfg.upright,
                    cfg.extended, ih, iw),
             interpret=cfg.wavelet_method == "interpret",
-            rad_bound_fn=cfg.desc_iradius_bound)
+            rad_bound_fn=cfg.desc_iradius_bound, row_base=row_base,
+            frame_rows=None if row_base is None else ih,
+            slab=slab, nframes=nframes)
         return l2_normalize(rows[:, :cfg.nfeatures])
 
+    base = row_base if row_base is not None else jnp.zeros_like(ix)
     pad = (-k) % chunk
     args = [jnp.pad(a, (0, pad)) for a in
             (ix, iy, step, iradius, iscale, spacing, fracr, fracc,
-             sine, cose)]
+             sine, cose, base)]
     args.append(jnp.pad(valid, (0, pad)))
     stacked = [a.reshape(-1, chunk, *a.shape[1:]) for a in args]
-    out = lax.map(lambda t: _describe_chunk(ii, cfg, *t), tuple(stacked))
+    out = lax.map(lambda t: _describe_chunk(ii, cfg, ih, iw, *t),
+                  tuple(stacked))
     return out.reshape(-1, cfg.nfeatures)[:k]
 
 
-def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
-                    spacing, fracr, fracc, sine, cose, valid):
-    ih, iw = ii.shape
+def _describe_chunk(ii, cfg: SurfConfig, ih, iw, ix, iy, step, iradius,
+                    iscale, spacing, fracr, fracc, sine, cose, base,
+                    valid):
     wsz = cfg.desc_wsz
     osz = cfg.orient_size
     wofs = jnp.float32(wsz * 0.5 - 0.5)
@@ -112,7 +125,7 @@ def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
     j_ = jnp.tile(g, n)
 
     def one(ix, iy, step, iradius, iscale, spacing, fracr, fracc,
-            sine, cose, valid):
+            sine, cose, base, valid):
         inwin = (jnp.abs(i_) <= iradius) & (jnp.abs(j_) <= iradius) & valid
         stepf = step.astype(jnp.float32)
         fi = i_.astype(jnp.float32)
@@ -131,7 +144,7 @@ def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
         # expression directly instead of gathering from the 40-entry LUT.
         weight = jnp.exp(-(jnp.clip(widx, 0, 39) + jnp.float32(0.5))
                          * jnp.float32(0.125))
-        rc = jnp.clip(r, iscale, ih - iscale - 2)
+        rc = jnp.clip(r, iscale, ih - iscale - 2) + base
         cc = jnp.clip(c, iscale, iw - iscale - 2)
         wdx = wavelet_dx(ii, cc, rc, iscale).astype(jnp.float32)
         wdy = wavelet_dy(ii, cc, rc, iscale).astype(jnp.float32)
@@ -182,7 +195,7 @@ def _describe_chunk(ii, cfg: SurfConfig, ix, iy, step, iradius, iscale,
         return desc.reshape(-1)
 
     desc = jax.vmap(one)(ix, iy, step, iradius, iscale, spacing,
-                         fracr, fracc, sine, cose, valid)
+                         fracr, fracc, sine, cose, base, valid)
     return l2_normalize(desc)
 
 

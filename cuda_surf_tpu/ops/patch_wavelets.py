@@ -55,6 +55,7 @@ DMAs are double-buffered against compute.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _limbs_for(bound: int) -> int:
+    """Minimal number of balanced base-256 digits (each in [-128, 127])
+    that exactly represents every integer in [-bound, bound].
+
+    The m-limb balanced capacity is 127*(256^m-1)/255 ~ 2^(8m-1), NOT
+    2^(8m)-1: a bit-length-derived limb count can under-provision by one
+    limb near the boundary (the final digit would wrap 128 -> -128 in
+    the int8 cast), so limb counts are sized against the true capacity.
+    """
+    m = 1
+    while 127 * (256 ** m - 1) // 255 < bound:
+        m += 1
+    return m
 
 
 def use_pallas(cfg) -> bool:
@@ -350,7 +366,7 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
 
 def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
             acc, sem, *, R, E_r, E_c, E_rp, E_cp, RC, CC, CH, NB, NBUF,
-            RH, mode, cfg_s, m_bits, shared, resident):
+            RH, mode, cfg_s, bound, shared, resident):
     """One grid step processes up to CH keypoints.
 
     meta is (8, cap) int32 — rows [r0, c0, iyl, ixl, step, s, irad, _];
@@ -363,8 +379,9 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
     Stage A contracts the RAW integral-image patch: the dy/dx stencils
     are zero-sum along both axes, so any per-row / per-column additive
     offset cancels exactly through the two selection matmuls — no
-    anchoring pass is needed.  Limb counts follow the static bound
-    max(ii) < 2^m_bits (so the row-combined operand is < 2^(m_bits+1)).
+    anchoring pass is needed.  Limb counts are sized by `_limbs_for`
+    against the static value bounds: max|ii| <= bound for stage A, and
+    the row-combined operand <= 2*bound for stage B.
 
     The patch is streamed in NB row bands of RC rows so even whole-image
     buckets (doubled mode) stay within VMEM: each band contributes its
@@ -388,9 +405,12 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
     count = count_ref[0]
     base = gid * CH
     RW = 2 * RH
+    # meta row 7: per-keypoint frame row base (nonzero only when the
+    # caller stacked B frames vertically in one integral image) —
+    # subtracted from iy for the frame-local border checks in binning
 
-    m1_limbs = -(-(m_bits + 1) // 8)
-    m2_limbs = -(-(m_bits + 2) // 8)
+    m1_limbs = _limbs_for(bound)
+    m2_limbs = _limbs_for(2 * bound)
 
     if resident or shared:
         @pl.when(gid == 0)
@@ -439,6 +459,10 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
                     acc[:, 0:E_c] = dd
                 else:
                     acc[:, 0:E_c] = acc[:, 0:E_c] + (dd << (8 * li))
+            if E_cp > E_c:
+                # stage B reads E_cp-wide chunks: zero the padding tail
+                # so out-of-image sample lanes stay 0 as documented
+                acc[:, E_c:E_cp] = jnp.zeros((RW, E_cp - E_c), jnp.int32)
         else:
             for b in range(NB):
                 if shared:
@@ -482,7 +506,8 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
             out_ref[j] = jnp.concatenate([dyv, dxv], axis=0)
         else:
             iyl, ixl = meta_ref[2, k], meta_ref[3, k]
-            gscalars = (meta_ref[0, k] + iyl, meta_ref[1, k] + ixl,
+            gscalars = (meta_ref[0, k] + iyl - meta_ref[7, k],
+                        meta_ref[1, k] + ixl,
                         meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
             fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
                         fpar_ref[3, k], fpar_ref[4, k])
@@ -503,7 +528,8 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
 
 
 def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
-                 interpret, mode, cfg_s, shared=False, limbs8=None):
+                 interpret, mode, cfg_s, shared=False, limbs8=None,
+                 value_bound=None):
     resident = limbs8 is not None
     R2 = 2 * R + 1
     RH = _round_up(R2, 8)
@@ -511,9 +537,12 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
         m1, h_pad, w_pad = limbs8.shape
     else:
         h_pad, w_pad = ii_pad.shape
-    m_bits = (255 * h_pad * w_pad).bit_length()
+    # max |ii| value: the whole padded image by default, or the caller's
+    # per-frame bound when frames are stacked vertically (each frame's
+    # integral restarts, so stacking does not grow the value range)
+    bound = value_bound if value_bound is not None else 255 * h_pad * w_pad
     if resident:
-        assert m1 == -(-(m_bits + 1) // 8)
+        assert m1 == _limbs_for(bound)
         NBUF = 1
     if shared:
         assert E_r == h_pad and E_c == w_pad
@@ -532,7 +561,7 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
     kernel = functools.partial(
         _kernel, R=R, E_r=E_r, E_c=E_c, E_rp=E_rp, E_cp=E_cp,
         RC=RC, CC=CC, CH=CH, NB=NB, NBUF=NBUF, RH=RH, mode=mode,
-        cfg_s=cfg_s, m_bits=m_bits, shared=shared, resident=resident)
+        cfg_s=cfg_s, bound=bound, shared=shared, resident=resident)
     if mode == "grids":
         out_block, out_shape = (CH, 2 * RH, 128), (cap, 2 * RH, 128)
         out_spec = pl.BlockSpec(out_block, lambda i, *_: (i, 0, 0),
@@ -575,7 +604,8 @@ def _bucket_call(ii_pad, count, meta, fpar, *, R, E_r, E_c, cap,
 def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                   R, max_span, mode, cfg_s=None, caps=None,
                   interpret=False, rad_bound_fn=None, span_lo=0,
-                  min_span=0, resident=None):
+                  min_span=0, resident=None, row_base=None,
+                  value_bound=None):
     """Shared bucketing orchestration: sort keypoints by patch span,
     run one pallas_call per bucket, reassemble in original order.
     Returns (K, ...) rows (grids: (K, 2*RH, 128); desc: (K, 128)).
@@ -595,6 +625,12 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     int8 limb planes VMEM-resident and slice per-keypoint windows from
     them — no per-keypoint patch DMA and no in-kernel limb extraction.
     Doubled-mode images exceed the budget and keep the streaming path.
+
+    `row_base` (K,) int32: per-keypoint frame row offset when `ii`
+    vertically stacks B frames (desc mode: border checks run on
+    iy - row_base, i.e. frame-local coordinates).  `value_bound`: the
+    per-frame max |ii| in that case (limb counts and the resident
+    budget are sized by it instead of the stacked height).
     """
     assert rad_bound_fn is None or mode == "desc"
     K = ix.shape[0]
@@ -603,8 +639,9 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     h, w = ii.shape
     w_pad = _round_up(w, 128)
     h_pad32 = _round_up(h, 32)
-    m_bits = (255 * h_pad32 * w_pad).bit_length()
-    m1 = -(-(m_bits + 1) // 8)
+    if value_bound is None:
+        value_bound = 255 * h_pad32 * w_pad
+    m1 = _limbs_for(value_bound)
     if resident is None:
         resident = m1 * h_pad32 * w_pad <= _RESIDENT_BYTES
     h_pad = h_pad32 if resident else _round_up(h, 8)
@@ -622,6 +659,11 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                       for (lim, _, _) in specs]
     if caps is None:
         caps = [max(K >> b, 128) for b in range(nb)]
+    # caller-supplied caps index the FILTERED spec list (buckets whose
+    # span limit falls at or below min_span are dropped above); truncate
+    # or extend so caps[b] always refers to specs[b]
+    caps = list(caps)[:nb]
+    caps += [max(K >> b, 128) for b in range(len(caps), nb)]
     caps = [_round_up(min(c, _round_up(K, 16)), 16) for c in caps]
     max_cap = max(caps)
 
@@ -685,14 +727,16 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         meta = jnp.stack([
             r0, c0, byi - r0, bxi - c0,
             jnp.take(step, sel), jnp.take(iscale, sel),
-            jnp.take(irad, sel), jnp.zeros((cap,), jnp.int32),
+            jnp.take(irad, sel),
+            (jnp.take(row_base, sel) if row_base is not None
+             else jnp.zeros((cap,), jnp.int32)),
         ], axis=0)
         fpar = jnp.take(fparams, sel, axis=1)
         count = jnp.minimum(cnts[b], cap).reshape(1)
         out = _bucket_call(ii_pad, count, meta, fpar, R=R_b, E_r=E_r,
                            E_c=E_c, cap=cap, interpret=interpret,
                            mode=mode, cfg_s=cfg_s, shared=shared,
-                           limbs8=limbs8)
+                           limbs8=limbs8, value_bound=value_bound)
         sorted_out = lax.dynamic_update_slice(
             sorted_out, out[:cap], (starts[b],) + (0,) * len(row_shape))
 
@@ -727,10 +771,15 @@ _LEVELS = ((256, 512,   256,  64,   63,      62),)
 
 _TILE_GROUP = 8         # keypoints per stacked stage-A matmul
 
+# TEMPORARY ablation knob for floor analysis (timing only, wrong
+# results): "nobin" replaces the binning with a trivial reduction;
+# "nostageb" additionally skips the column-combination matmuls.
+_ABLATE = os.environ.get("SURF_DESC_ABLATE", "")
+
 
 def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
                   patch, rel_limb, rw, acc, sem, *, R, RH, T, TX, h_pad,
-                  w_pad, cfg_s, TE_R, TE_C, WC, TI_R, TI_C):
+                  w_pad, cfg_s, TE_R, TE_C, WC, TI_R, TI_C, rel_bound):
     """Grid step = one tile: DMA the tile once (double-buffered across
     steps), extract the tile's anchored-rel int8 limbs once, then
     process the tile's keypoints in groups of G: each group's
@@ -775,12 +824,17 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
     n_t = cnt_ref[t]
     s_t = start_ref[t]
 
-    # tile-anchored rel <= 255 * TE_R * TE_C -> m1 limbs; the stage-B
-    # operand is re-anchored to the keypoint's column window, where the
-    # stencil rows collapse to <= (2s+1)-row band sums:
-    # |A[c]-A[cs]| <= 2*255*s*WC, kept under the exact 3-limb budget
-    # (top balanced digit <= 127) by the level's s_cap routing.
-    m1 = -(-(255 * TE_R * TE_C).bit_length() // 8)
+    # tile-anchored rel bounded by `rel_bound` (the tile area for a
+    # single image; cross-frame tiles of a stacked image are bounded by
+    # per-frame horizontal differences instead, see _run_supertile) ->
+    # m1 limbs; the stage-B operand is re-anchored to the keypoint's
+    # column window, where the stencil rows collapse to <= (2s+1)-row
+    # band sums: for every keypoint whose stencil stays inside its own
+    # frame |A[c]-A[cs]| <= 2*255*s*WC, kept under the exact 3-limb
+    # budget (top balanced digit <= 127) by the level's s_cap routing;
+    # stencils crossing a frame boundary only feed sample lanes the
+    # binning masks out (frame-local border checks).
+    m1 = _limbs_for(rel_bound)
     m2 = 3
 
     @pl.when(n_t > 0)
@@ -823,6 +877,11 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
             else:
                 acc[...] = acc[...] + (dd << (8 * li))
 
+        # NOTE: a fully static-unrolled emit (all G keypoints' chains in
+        # one basic block, masked stores) was measured NEUTRAL on
+        # hardware (supertile 2.48 -> 2.37 ms, full describe unchanged)
+        # at several minutes of extra Mosaic compile time — the
+        # per-keypoint chain cost is not fori_loop serialization.
         def emit(j, c):
             k = g0 + j
             cs = pl.multiple_of(meta_ref[1, k], 128)
@@ -830,11 +889,18 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
             isc = (meta_ref[2, k], ixl_w, meta_ref[4, k], meta_ref[5, k],
                    meta_ref[6, k])
             Aw = acc[pl.ds(j * RW, RW), pl.ds(cs, WC)]
+            if _ABLATE == "nostageb":
+                out_ref[k] = Aw[:1, :128].astype(jnp.float32)[0]
+                return c
             Aw = Aw - Aw[:, 0:1]
             cdy, cdx = _col_weights(0, isc, R=R, CC=WC)
             dyv = _dot_limbs(Aw[:RH], cdy, m2).astype(jnp.float32)
             dxv = _dot_limbs(Aw[RH:], cdx, m2).astype(jnp.float32)
-            gscalars = (r0_t + meta_ref[2, k], c0_t + meta_ref[3, k],
+            if _ABLATE == "nobin":
+                out_ref[k] = dyv[:1, :128][0] + dxv[:1, :128][0]
+                return c
+            gscalars = (r0_t + meta_ref[2, k] - meta_ref[7, k],
+                        c0_t + meta_ref[3, k],
                         meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
             fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
                         fpar_ref[3, k], fpar_ref[4, k])
@@ -849,8 +915,16 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
 
 
 def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
-                   R, cfg_s, level=0, interpret=False):
-    """Shared-tile descriptor rows for `elig` keypoints (others zero)."""
+                   R, cfg_s, level=0, interpret=False, row_base=None,
+                   frame_rows=None):
+    """Shared-tile descriptor rows for `elig` keypoints (others zero).
+
+    `row_base`/`frame_rows`: per-keypoint frame row offsets and the
+    per-frame integral height when `ii` stacks B frames vertically —
+    binning border checks run frame-locally, and the stage-A limb bound
+    accounts for tiles straddling a frame boundary (tile-anchored rel of
+    such a tile is bounded by two per-frame horizontal differences,
+    2*255*frame_rows*TE_C, instead of the tile area)."""
     TE_R, TE_C, WC, MR, _, _ = _LEVELS[level]
     MC = (WC - 128) // 2
     TI_R, TI_C = TE_R - 2 * MR, TE_C - 2 * MC
@@ -897,18 +971,22 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     cs = (jnp.clip(ixl_t - MC, 0, TE_C - WC) // 128) * 128
     meta = jnp.stack([jnp.zeros((K,), jnp.int32), cs, iyl_t, ixl_t,
                       step, iscale, irad,
-                      jnp.zeros((K,), jnp.int32)], axis=0)
+                      (row_base if row_base is not None
+                       else jnp.zeros((K,), jnp.int32))], axis=0)
     meta = jnp.take(meta, sel, axis=1)
     fpar = jnp.take(fparams, sel, axis=1)
 
     K_pad = _round_up(K, 8)
     RW = 2 * RH
     G = _TILE_GROUP
-    m1 = -(-(255 * TE_R * TE_C).bit_length() // 8)
+    rel_bound = 255 * TE_R * TE_C
+    if frame_rows is not None:
+        rel_bound = max(rel_bound, 2 * 255 * frame_rows * TE_C)
+    m1 = _limbs_for(rel_bound)
     kernel = functools.partial(_kernel_tiles, R=R, RH=RH, T=T, TX=TX,
                                h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s,
                                TE_R=TE_R, TE_C=TE_C, WC=WC, TI_R=TI_R,
-                               TI_C=TI_C)
+                               TI_C=TI_C, rel_bound=rel_bound)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
@@ -961,7 +1039,8 @@ def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
 
 def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                     R, max_span, cfg_s, caps=None, interpret=False,
-                    rad_bound_fn=None):
+                    rad_bound_fn=None, row_base=None, frame_rows=None,
+                    slab=None, nframes=None):
     """Full in-kernel SURF descriptors: (K, 128) unnormalized rows
     (features in lanes [0, wsz*wsz*osz)).  fparams is (8, K) float32
     rows [fracr, fracc, spacing, sine, cose]; cfg_s is the static
@@ -977,23 +1056,48 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     SurfConfig.desc_iradius_bound): a static iradius bound per span
     range, used to size each fallback bucket's sample grid below the
     global R (large-span keypoints have step >= 4 and iradius well
-    under the step-1 worst case)."""
+    under the step-1 worst case).
+
+    `row_base` (K,) / `frame_rows`: frame-stacked mode — see
+    _run_supertile / _run_bucketed."""
     span = irad * step + iscale + 1
     remaining = valid
     rows = None
     for lv, (_, _, _, _, span_cap, s_cap) in enumerate(_LEVELS):
         elig = remaining & (span <= span_cap) & (iscale <= s_cap)
         r = _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams,
-                           R=R, cfg_s=cfg_s, level=lv, interpret=interpret)
+                           R=R, cfg_s=cfg_s, level=lv, interpret=interpret,
+                           row_base=row_base, frame_rows=frame_rows)
         rows = r if rows is None else rows + r
         remaining = remaining & ~elig
         if max_span <= span_cap:
             break
     if max_span > _LEVELS[0][4]:
         span_lo = _LEVELS[0][4]
-        rows = rows + _run_bucketed(
-            ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,
-            max_span=max_span, mode="desc", cfg_s=cfg_s, caps=caps,
-            interpret=interpret, rad_bound_fn=rad_bound_fn,
-            span_lo=span_lo, min_span=span_lo)
+        if row_base is None:
+            rows = rows + _run_bucketed(
+                ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,
+                max_span=max_span, mode="desc", cfg_s=cfg_s, caps=caps,
+                interpret=interpret, rad_bound_fn=rad_bound_fn,
+                span_lo=span_lo, min_span=span_lo)
+        else:
+            # frame-stacked mode: the fallback runs PER FRAME on that
+            # frame's slab so its whole-image int8 limb planes stay
+            # VMEM-resident (a stacked image would force the streaming
+            # path's per-keypoint multi-MB patch DMAs back)
+            K = ix.shape[0]
+            fcaps = caps
+            if fcaps is None and nframes > 1:
+                kf = -(-K // nframes)
+                fcaps = [max(kf >> b, 128) for b in range(8)]
+            for f in range(nframes):
+                elig_f = remaining & (row_base == f * slab)
+                ii_f = lax.slice(ii, (f * slab, 0),
+                                 ((f + 1) * slab, ii.shape[1]))
+                rows = rows + _run_bucketed(
+                    ii_f, ix, iy - f * slab, step, iscale, irad, elig_f,
+                    fparams, R=R, max_span=max_span, mode="desc",
+                    cfg_s=cfg_s, caps=fcaps, interpret=interpret,
+                    rad_bound_fn=rad_bound_fn, span_lo=span_lo,
+                    min_span=span_lo)
     return rows

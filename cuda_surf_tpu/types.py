@@ -123,6 +123,34 @@ def compact(mask: jax.Array, capacity: int, *arrays):
         idx = jnp.searchsorted(cs, slots + 1).astype(jnp.int32)
     out_valid = slots < count
     idx = jnp.where(out_valid, idx, 0)
+
+    # Fast path: when every array is 1-D with 4-byte (or bool) elements,
+    # bitcast-pack them into one (n, A) uint32 matrix and gather ALL of
+    # them with a single row take — each separate jnp.take is its own
+    # gather kernel on TPU (~tens of us of fixed cost), so compacting 7
+    # arrays costs 7 kernels otherwise.
+    from jax import lax as _lax
+
+    def _pack(a):
+        if a.dtype == jnp.bool_:
+            return a.astype(jnp.uint32)
+        if a.dtype.itemsize == 4:
+            return _lax.bitcast_convert_type(a, jnp.uint32)
+        return None
+
+    if len(arrays) >= 2 and all(a.ndim == 1 for a in arrays):
+        cols = [_pack(a.reshape(-1)) for a in arrays]
+        if all(c is not None for c in cols):
+            packed = jnp.stack(cols, axis=1)               # (n, A)
+            took = jnp.take(packed, idx, axis=0)           # (cap, A)
+            took = jnp.where(out_valid[:, None], took, 0)
+            outs = []
+            for j, a in enumerate(arrays):
+                v = took[:, j]
+                outs.append(v != 0 if a.dtype == jnp.bool_
+                            else _lax.bitcast_convert_type(v, a.dtype))
+            return count, out_valid, *outs
+
     outs = []
     for a in arrays:
         a = a.reshape(n, *a.shape[1:]) if a.ndim > 1 else a.reshape(-1)
