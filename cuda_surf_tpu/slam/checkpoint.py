@@ -26,7 +26,7 @@ from ..types import Keypoints
 from .loopclosure import LoopClosure
 from .pipeline import FrameState, SlamPipeline
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def _kp_treedef():
@@ -88,17 +88,24 @@ def save_pipeline(path: str, pipe: SlamPipeline) -> None:
     if pipe._detector is not None:
         det = pipe._detector
         header["det_n_frames"] = len(det._frames)
+        header["det_max_store"] = det.max_store
         arrays["det_key"] = np.asarray(det.key)
-        if det._frames:
-            # static per-config shapes: stack every frame's kp leaves/desc
-            n_leaves = 0
-            for f, (kps, desc) in enumerate(det._frames):
-                leaves, _ = jax.tree_util.tree_flatten(kps)
-                n_leaves = len(leaves)
-                for i, leaf in enumerate(leaves):
-                    arrays[f"det_kp_{f}_{i}"] = np.asarray(leaf)
-                arrays[f"det_desc_{f}"] = np.asarray(desc)
-            header["det_n_leaves"] = n_leaves
+        if det._sigs:
+            # signatures for every frame (O(F x nfeatures)); full
+            # features only for frames still in the (possibly ring-
+            # capped) store
+            arrays["det_sigs"] = np.stack(det._sigs)
+        retained = [f for f, v in enumerate(det._frames) if v is not None]
+        header["det_retained"] = retained
+        n_leaves = 0
+        for f in retained:
+            kps, desc = det._frames[f]
+            leaves, _ = jax.tree_util.tree_flatten(kps)
+            n_leaves = len(leaves)
+            for i, leaf in enumerate(leaves):
+                arrays[f"det_kp_{f}_{i}"] = np.asarray(leaf)
+            arrays[f"det_desc_{f}"] = np.asarray(desc)
+        header["det_n_leaves"] = n_leaves
     arrays["header"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -164,14 +171,26 @@ def load_pipeline(path: str, pipe: SlamPipeline) -> SlamPipeline:
                 track_id=data["map_tid"][k].copy()))
     if header.get("has_detector"):
         from .loopclosure import LoopDetector
-        pipe._detector = LoopDetector(pipe.intr,
-                                      min_gap=pipe.loop_min_gap)
-        pipe._detector.key = jnp.asarray(data["det_key"])
+        det = LoopDetector(pipe.intr, min_gap=pipe.loop_min_gap,
+                           max_store=header.get("det_max_store"))
+        pipe._detector = det
+        det.key = jnp.asarray(data["det_key"])
         n_leaves = header.get("det_n_leaves", 0)
-        for f in range(header.get("det_n_frames", 0)):
-            leaves = [jnp.asarray(data[f"det_kp_{f}_{i}"])
-                      for i in range(n_leaves)]
-            kps = jax.tree_util.tree_unflatten(treedef, leaves)
-            # add() also rebuilds the prescreen signature for the frame
-            pipe._detector.add(kps, jnp.asarray(data[f"det_desc_{f}"]))
+        n_frames = header.get("det_n_frames", 0)
+        retained = header.get("det_retained")  # absent in version <= 2
+        if retained is None:
+            retained = list(range(n_frames))
+        retained = set(retained)
+        for f in range(n_frames):
+            if f in retained:
+                leaves = [np.asarray(data[f"det_kp_{f}_{i}"])
+                          for i in range(n_leaves)]
+                kps = jax.tree_util.tree_unflatten(treedef, leaves)
+                det._frames.append((kps, np.asarray(data[f"det_desc_{f}"])))
+                det._sigs.append(det._signature(kps, det._frames[-1][1]))
+            else:
+                det._frames.append(None)
+                det._sigs.append(None)
+        if "det_sigs" in data:  # authoritative (covers evicted frames)
+            det._sigs = [np.asarray(s) for s in data["det_sigs"]]
     return pipe

@@ -56,19 +56,32 @@ class LoopDetector:
     of an F-frame history is O(F) RANSAC dispatches per query (~8.6 ms
     each); the prescreen caps it at `prescreen_topk` regardless of F.
     Set `prescreen_topk=None` to restore exhaustive verification.
+
+    Memory: full features live on the HOST (the device only ever holds
+    the <= prescreen_topk candidates currently being verified, uploaded
+    on demand — at max_pts=2048 x 64 f32 a frame is ~0.5 MB, so keeping
+    the whole history in HBM would cost ~0.5 MB/frame forever).
+    `max_store` additionally caps how many frames retain full features
+    (ring eviction, oldest first): signatures are kept for ALL frames,
+    but loops to evicted frames can no longer be verified.  None
+    (default) retains everything.
     """
 
     def __init__(self, intr: Intrinsics, min_gap: int = 5,
                  min_inliers: int = 60, ratio: float = 0.9, seed: int = 1,
                  prescreen_topk: int | None = 3,
-                 prescreen_min_sim: float = 0.5):
+                 prescreen_min_sim: float = 0.5,
+                 max_store: int | None = None):
         self.intr = intr
         self.min_gap = min_gap
         self.min_inliers = min_inliers
         self.prescreen_topk = prescreen_topk
         self.prescreen_min_sim = prescreen_min_sim
+        self.max_store = max_store
         self.key = jax.random.PRNGKey(seed)
-        self._frames: List[tuple] = []      # (Keypoints, desc) on device
+        # host-side store: entry = (Keypoints with numpy leaves, ndarray
+        # desc), or None after ring eviction
+        self._frames: List[tuple | None] = []
         self._sigs: List[np.ndarray] = []   # (nfeatures,) host signatures
         self.n_verifications = 0            # RANSAC verifications run
         self._track = jax.jit(
@@ -84,19 +97,25 @@ class LoopDetector:
         return s / n if n > 1e-12 else s
 
     def add(self, kps: Keypoints, desc) -> int:
-        self._frames.append((kps, desc))
-        self._sigs.append(self._signature(kps, desc))
+        host = (jax.tree_util.tree_map(np.asarray, kps), np.asarray(desc))
+        self._frames.append(host)
+        self._sigs.append(self._signature(*host))
+        if self.max_store is not None:
+            live = [f for f, v in enumerate(self._frames) if v is not None]
+            for f in live[:max(0, len(live) - self.max_store)]:
+                self._frames[f] = None
         return len(self._frames) - 1
 
     def _candidates(self, j: int) -> List[int]:
         hi = j - self.min_gap + 1
         if hi <= 0:
             return []
-        if self.prescreen_topk is None or hi <= self.prescreen_topk:
-            return list(range(hi))
-        sims = np.stack(self._sigs[:hi]) @ self._sigs[j]
+        stored = [i for i in range(hi) if self._frames[i] is not None]
+        if self.prescreen_topk is None or len(stored) <= self.prescreen_topk:
+            return stored
+        sims = np.stack([self._sigs[i] for i in stored]) @ self._sigs[j]
         order = np.argsort(-sims)[: self.prescreen_topk]
-        return sorted(int(i) for i in order
+        return sorted(stored[int(i)] for i in order
                       if sims[i] >= self.prescreen_min_sim)
 
     def query(self, j: int | None = None) -> List[LoopClosure]:

@@ -66,7 +66,8 @@ class SlamPipeline:
                  keyframe_min_inlier_frac: float = 0.5,
                  ba_refine: bool = False, ba_iters: int = 5,
                  window_ba: int = 0, loop_detect: bool = False,
-                 loop_min_gap: int = 5, seed: int = 0,
+                 loop_min_gap: int = 5, loop_store: int | None = None,
+                 seed: int = 0,
                  metrics: MetricsLogger | None = None):
         self.cfg = cfg if cfg is not None else SurfConfig(
             max_pts=2048, candidates_per_octave=2048)
@@ -80,6 +81,9 @@ class SlamPipeline:
         self.map = None
         self.loop_detect = loop_detect
         self.loop_min_gap = loop_min_gap
+        # bound on frames retaining full loop-verification features
+        # (host memory + checkpoint size; see LoopDetector.max_store)
+        self.loop_store = loop_store
         self.loops = []
         self.frame_depths = []
         self._detector = None
@@ -123,7 +127,8 @@ class SlamPipeline:
             if self.loop_detect:
                 from .loopclosure import LoopDetector
                 self._detector = LoopDetector(self.intr,
-                                              min_gap=self.loop_min_gap)
+                                              min_gap=self.loop_min_gap,
+                                              max_store=self.loop_store)
                 self._detector.add(kps, desc)
             self.frame_depths.append(1.0)
             self.metrics.log(frame=0, keypoints=int(kps.count), inliers=0)
