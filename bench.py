@@ -71,10 +71,14 @@ def main():
         _ = float(jnp.sum(d1)) + float(jnp.sum(d2))
         return (time.perf_counter() - t0) / iters * 1e3
 
-    # Compile both backends first, then time them interleaved (2 rounds,
-    # keep the per-backend minimum): the first timed loop after a
-    # compile is polluted by autotune/cache effects on the tunneled TPU
-    # (observed: a cold dense probe reading 207 ms vs 23 ms warm).
+    # Compile both backends first, then time them interleaved (3 rounds
+    # of ITERS//3, keep the per-backend minimum): the first timed loop
+    # after a compile is polluted by autotune/cache effects on the
+    # tunneled TPU (observed: a cold dense probe reading 207 ms vs 23 ms
+    # warm), and short 15-iter probes disagreed with the 100-iter
+    # headline by up to 23% (BENCH_r03) — the probe now uses the same
+    # per-round iteration count regime as the headline so the two agree
+    # within tunnel noise.
     fns = {}
     for fit in ("dense", "sparse"):
         try:
@@ -88,9 +92,9 @@ def main():
         fns["dense"] = make_pair_fn(
             dataclasses.replace(cfg, detect_fit="dense"))
     fit_ms = {}
-    for _ in range(2):
+    for _ in range(3):
         for fit, fn in fns.items():
-            t = time_fn(fn, iters=15)
+            t = time_fn(fn, iters=max(ITERS // 3, 10))
             fit_ms[fit] = min(t, fit_ms.get(fit, float("inf")))
     fit_used = min(fit_ms, key=fit_ms.get)
     cfg = dataclasses.replace(cfg, detect_fit=fit_used)

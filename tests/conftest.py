@@ -33,9 +33,22 @@ import pytest
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "cpu_only: skip under the SURF_TPU_TESTS hardware lane")
+    config.addinivalue_line(
+        "markers", "slow: full-resolution / multi-minute test, skipped "
+        "unless SURF_FULL_TESTS=1 (the quick suite must stay under ~10 "
+        "minutes so it actually gets run before commits)")
 
 
 def pytest_collection_modifyitems(config, items):
+    # slow tests always run on the TPU hardware lane (they are fast
+    # there: the full-res golden is ~14 s on-chip vs tens of minutes
+    # under the CPU interpreter)
+    if os.environ.get("SURF_FULL_TESTS") != "1" and not _TPU_LANE:
+        skip_slow = pytest.mark.skip(
+            reason="slow test; set SURF_FULL_TESTS=1 for the full suite")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip_slow)
     if not _TPU_LANE:
         return
     skip = pytest.mark.skip(reason="cpu_only test under SURF_TPU_TESTS=1")

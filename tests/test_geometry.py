@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -131,6 +132,7 @@ def test_five_point_batched_shapes():
     np.testing.assert_allclose(n, 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_ransac_5pt_high_outliers():
     """At 65% outliers the 5-point sampler still nails the pose with a
     modest hypothesis budget (w^5 = 0.5%/sample vs w^8 = 0.02%)."""

@@ -12,11 +12,13 @@ descriptors, Laplacian signs, orientations).
 
 import numpy as np
 import jax
+import pytest
 
 from cuda_surf_tpu import Surf, SurfConfig
 from cuda_surf_tpu.io import read_pgm
 
 
+@pytest.mark.slow
 def test_reference_pair_golden(left_image, right_image):
     surf = Surf(SurfConfig(noctaves=4, thresh=4.0, upright=True,
                            max_pts=4096, candidates_per_octave=4096))

@@ -98,6 +98,7 @@ def test_prescreen_bounds_verifications(strip_frames):
     assert good >= 0.8 * len(closures)
 
 
+@pytest.mark.slow
 def test_prescreen_matches_exhaustive(strip_frames):
     """On a shorter sequence, the prescreen must find the same closure
     pairs as exhaustive verification."""

@@ -212,6 +212,7 @@ def test_orientation_pallas_interpret_matches_gather(small_image):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nondefault_config_parity(small_image):
     """Non-default descriptor window / mask sizes through the kernel."""
     import dataclasses

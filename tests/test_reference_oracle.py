@@ -77,6 +77,7 @@ def _compare(image, image_path, cfg, *flags, check_ori=False):
     return okp, od, j
 
 
+@pytest.mark.slow
 def test_upright_golden_pair(left_image, right_image):
     cfg = SurfConfig(max_pts=4096, candidates_per_octave=4096)
     lk, ld, _ = _compare(left_image, "/root/reference/data/left.pgm", cfg)
@@ -89,6 +90,7 @@ def test_upright_golden_pair(left_image, right_image):
     np.testing.assert_allclose(best.mean(), 0.96497, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_extended_golden(left_image):
     cfg = SurfConfig(max_pts=4096, candidates_per_octave=4096,
                      extended=True)
@@ -96,6 +98,7 @@ def test_extended_golden(left_image):
              "--extended")
 
 
+@pytest.mark.slow
 def test_rotated_golden(left_image):
     cfg = SurfConfig(max_pts=4096, candidates_per_octave=4096,
                      upright=False)

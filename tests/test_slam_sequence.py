@@ -32,6 +32,7 @@ def test_sequence_ate(plane_seq):
     assert res.ate < 0.08, res.ate
 
 
+@pytest.mark.slow
 def test_sequence_ba_refine(plane_seq):
     frames, centres, intr = plane_seq
     res = run_sequence(_pipe(intrinsics=intr, ba_refine=True),
@@ -39,6 +40,7 @@ def test_sequence_ba_refine(plane_seq):
     assert res.ate < 0.08, res.ate
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_continuous(plane_seq, tmp_path):
     frames, centres, intr = plane_seq
     full = _pipe(intrinsics=intr)
@@ -57,6 +59,7 @@ def test_checkpoint_resume_matches_continuous(plane_seq, tmp_path):
                                res_full.trajectory, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["window_ba", "loop_detect"])
 def test_checkpoint_resume_full_state(plane_seq, tmp_path, mode):
     """Resume must be bit-equal to a continuous run with the windowed-BA
@@ -113,6 +116,7 @@ def test_checkpoint_v1_rejected_for_new_modes(plane_seq, tmp_path):
     load_pipeline(ck, _pipe(intrinsics=intr))
 
 
+@pytest.mark.slow
 def test_windowed_ba_improves_or_matches(plane_seq):
     frames, centres, intr = plane_seq
     plain = run_sequence(_pipe(intrinsics=intr), frames, gt=centres)
@@ -123,6 +127,7 @@ def test_windowed_ba_improves_or_matches(plane_seq):
     assert win.ate < plain.ate * 1.15
 
 
+@pytest.mark.slow
 def test_keyframe_map_tracks(plane_seq):
     import jax
     from cuda_surf_tpu.slam.mapping import KeyframeMap
@@ -141,6 +146,7 @@ def test_keyframe_map_tracks(plane_seq):
     assert int(np.asarray(prob.mask).any(axis=1).sum()) >= 8
 
 
+@pytest.mark.slow
 def test_loop_closure_detection_and_posegraph(plane_seq):
     import numpy as np
     from cuda_surf_tpu.slam import ate_rmse
@@ -232,6 +238,7 @@ def terrain_run():
     return pipe, res, centres
 
 
+@pytest.mark.slow
 def test_terrain_vo_ate(terrain_run):
     pipe, res, centres = terrain_run
     assert (res.inliers[1:] > 60).all(), res.inliers
@@ -240,6 +247,7 @@ def test_terrain_vo_ate(terrain_run):
     assert res.ate < 0.06, res.ate
 
 
+@pytest.mark.slow
 def test_terrain_loops_and_graphs(terrain_run):
     import dataclasses
     from cuda_surf_tpu.slam import ate_rmse
@@ -267,6 +275,7 @@ def test_terrain_loops_and_graphs(terrain_run):
         pipe.frames = vo_frames
 
 
+@pytest.mark.slow
 def test_forward_motion_ate():
     """Pure forward motion (epipole near image centre — the hard
     monocular regime; KITTI-like geometry).  Measured ATE 0.022 over a
@@ -280,6 +289,7 @@ def test_forward_motion_ate():
     assert res.ate < 0.06, res.ate
 
 
+@pytest.mark.slow
 def test_run_sequence_checkpoint_resume(plane_seq, tmp_path):
     """Crash-resume through run_sequence's checkpoint_dir: a second
     invocation after an interrupted run continues from the newest
