@@ -87,39 +87,49 @@ def main():
              ih, iw)
     span = np.asarray(irad * step + iscale + 1)
     vnp = np.asarray(valid)
-    span_cap, s_cap = pw._LEVELS[0][4], pw._LEVELS[0][5]
-    elig = vnp & (span <= span_cap) & (np.asarray(iscale) <= s_cap)
-    n_tile = int(elig.sum())
-    n_fall = int((vnp & ~elig).sum())
     dev = jax.devices()[0].device_kind
 
-    elig_j = jnp.asarray(elig)
-    rem_j = valid & ~elig_j
+    # per-level eligibility exactly as descriptor_rows routes
+    remaining = vnp.copy()
+    eligs = []
+    for (_, _, _, _, span_cap, s_cap) in pw._LEVELS:
+        e = remaining & (span <= span_cap) & (np.asarray(iscale) <= s_cap)
+        eligs.append(e)
+        remaining = remaining & ~e
 
     def f_full(ii, ix, iy, step, iscale, irad, valid, fparams):
         return pw.descriptor_rows(ii, ix, iy, step, iscale, irad, valid,
                                   fparams, R=R, max_span=cfg.max_desc_span,
                                   cfg_s=cfg_s)
 
-    def f_tile(ii, ix, iy, step, iscale, irad, e, fparams):
-        return pw._run_supertile(ii, ix, iy, step, iscale, irad, e,
-                                 fparams, R=R, cfg_s=cfg_s)
+    def make_tile(lv):
+        def f_tile(ii, ix, iy, step, iscale, irad, e, fparams):
+            return pw._run_supertile(ii, ix, iy, step, iscale, irad, e,
+                                     fparams, R=R, cfg_s=cfg_s, level=lv)
+        return f_tile
 
     def f_fall(ii, ix, iy, step, iscale, irad, r, fparams):
         return pw._run_bucketed(ii, ix, iy, step, iscale, irad, r,
                                 fparams, R=R, max_span=cfg.max_desc_span,
-                                mode="desc", cfg_s=cfg_s)
+                                mode="desc", cfg_s=cfg_s,
+                                span_lo=pw._LEVELS[-1][4],
+                                min_span=pw._LEVELS[-1][4],
+                                rad_bound_fn=cfg.desc_iradius_bound)
 
     base = (ii, ix, iy, step, iscale, irad)
-    rows = [
-        ("desc_full", jax.jit(f_full), base + (valid, fparams)),
-        ("desc_supertile", jax.jit(f_tile), base + (elig_j, fparams)),
-        ("desc_bucketed", jax.jit(f_fall), base + (rem_j, fparams)),
-    ]
+    rows = [("desc_full", jax.jit(f_full), base + (valid, fparams))]
+    for lv, e in enumerate(eligs):
+        rows.append((f"desc_supertile_l{lv}", jax.jit(make_tile(lv)),
+                     base + (jnp.asarray(e), fparams)))
+    rows.append(("desc_bucketed", jax.jit(f_fall),
+                 base + (jnp.asarray(remaining), fparams)))
+    counts = {f"desc_supertile_l{lv}": int(e.sum())
+              for lv, e in enumerate(eligs)}
+    counts["desc_bucketed"] = int(remaining.sum())
+    counts["desc_full"] = int(vnp.sum())
     for name, fn, a in rows:
         ms = time_fn(fn, a, args.iters)
-        n = {"desc_full": n_tile + n_fall, "desc_supertile": n_tile,
-             "desc_bucketed": n_fall}[name]
+        n = counts[name]
         print(json.dumps({"metric": "desc_ms", "variant": name,
                           "value": round(ms, 3), "n_kp": n,
                           "us_per_kp": round(ms * 1e3 / max(n, 1), 3),

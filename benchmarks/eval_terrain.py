@@ -54,6 +54,14 @@ def main():
     ap.add_argument("--plot", metavar="PATH.ppm",
                     help="write a top-down trajectory plot (gt white, "
                          "VO red, SE3+Sim3 blue)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="atomically checkpoint pipeline state while "
+                         "running (and resume from it if present) — "
+                         "the long-run production path")
+    ap.add_argument("--checkpoint-every", type=int, default=50)
+    ap.add_argument("--loop-store", type=int, default=None,
+                    help="ring-cap on frames retaining full "
+                         "loop-verification features")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -72,9 +80,12 @@ def main():
         SurfConfig(noctaves=3, thresh=2.0, max_pts=1024,
                    candidates_per_octave=1024),
         intrinsics=intr, loop_detect=not args.forward,
-        loop_min_gap=args.loop_gap, window_ba=args.window_ba)
+        loop_min_gap=args.loop_gap, window_ba=args.window_ba,
+        loop_store=args.loop_store)
     t0 = time.time()
-    res = run_sequence(pipe, frames, gt=centres)
+    res = run_sequence(pipe, frames, gt=centres,
+                       checkpoint_dir=args.checkpoint_dir,
+                       checkpoint_every=args.checkpoint_every)
     dt = time.time() - t0
     print(f"VO+loop-detect: {dt:.0f}s ({1e3 * dt / args.frames:.0f} "
           f"ms/frame incl. detector)  ATE={res.ate:.4f}  "

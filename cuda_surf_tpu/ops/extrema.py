@@ -279,10 +279,12 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
         resp_flat = jnp.concatenate([r.reshape(-1) for r in pyr])
         sten = None
     else:
-        # four flat (T,) maps [off_s, off_r, off_c, strength]: the walk
-        # gathers each with a flat 1D take, which TPU executes far
-        # faster than row-gathers of (T, 4)
-        sten = [jnp.concatenate([s[:, k] for s in stens]) for k in range(4)]
+        # ONE flat (4*T,) buffer [off_s | off_r | off_c | strength]:
+        # the walk gathers all four values per candidate in a single
+        # 1-D take (4 separate takes are 4 gather kernels per walk
+        # step; row-gathers of a (T, 4) layout measured slower still)
+        sten = jnp.concatenate(
+            [jnp.concatenate([s[:, k] for s in stens]) for k in range(4)])
     total = offs[-1]
 
     lin0 = lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
@@ -323,8 +325,10 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
             x0, x1, x2, s = fit_sparse(resp_flat, lin_idx, oh_i * ow_i,
                                        ow_i)
             return jnp.stack([x0, x1, x2], -1), s
-        v = [jnp.take(m, lin_idx) for m in sten]   # 4 x (cap,)
-        return jnp.stack(v[0:3], -1), v[3]
+        k4 = jnp.arange(4, dtype=jnp.int32)[:, None] * total
+        v = jnp.take(sten, (lin_idx[None, :] + k4).reshape(-1)
+                     ).reshape(4, -1)
+        return jnp.stack([v[0], v[1], v[2]], -1), v[3]
 
     def step(lin, r, c, border, oh_t, ow_t, active):
         """One fit + walk move; returns fit outputs and moved state."""
@@ -371,14 +375,19 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
     # merge the walked subset back by rank-gather (compact is stable, so
     # the i-th active slot landed at compacted row i): TPU gathers beat
     # the equivalent 4 scatters (dropped-overflow actives keep their
-    # first-iteration fit)
+    # first-iteration fit); all six merged values gather in ONE take
     rank = jnp.cumsum(active.astype(jnp.int32)) - 1
     walked = active & (rank < cap2)
     rk = jnp.where(walked, rank, 0)
-    off = jnp.where(walked[:, None], jnp.take(off2, rk, axis=0), off)
-    strength = jnp.where(walked, jnp.take(strength2, rk), strength)
-    r_fit = jnp.where(walked, jnp.take(rf2, rk), r_fit)
-    c_fit = jnp.where(walked, jnp.take(cf2, rk), c_fit)
+    wbuf = jnp.concatenate([off2[:, 0], off2[:, 1], off2[:, 2],
+                            strength2, rf2, cf2])
+    k6 = jnp.arange(6, dtype=jnp.int32)[:, None] * cap2
+    wv = jnp.take(wbuf, (rk[None, :] + k6).reshape(-1)).reshape(6, -1)
+    off = jnp.where(walked[:, None],
+                    jnp.stack([wv[0], wv[1], wv[2]], -1), off)
+    strength = jnp.where(walked, wv[3], strength)
+    r_fit = jnp.where(walked, wv[4], r_fit)
+    c_fit = jnp.where(walked, wv[5], c_fit)
 
     good = valid
     good &= ~jnp.any(jnp.isnan(off), axis=1)

@@ -491,6 +491,10 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
                     else:
                         acc[:, cc:cc + CC] = acc[:, cc:cc + CC] + contrib
 
+        if _ABLATE == "nostageb" and mode == "desc":
+            out_ref[j] = acc[0, 0:128].astype(jnp.float32)
+            return carry
+
         G = jnp.zeros((RW, 128), jnp.int32)
         for ci in range(E_cp // CC):
             cc = ci * CC
@@ -501,6 +505,10 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
             G = G + jnp.concatenate([g_dy, g_dx], axis=0)
         dyv = G[:RH].astype(jnp.float32)
         dxv = G[RH:].astype(jnp.float32)
+
+        if mode == "desc" and _ABLATE == "nobin":
+            out_ref[j] = dyv[0] + dxv[0]
+            return carry
 
         if mode == "grids":
             out_ref[j] = jnp.concatenate([dyv, dxv], axis=0)
@@ -755,19 +763,30 @@ def _run_bucketed(ii, ix, iy, step, iscale, irad, valid, fparams, *,
 # whose span exceeds _TILE_SPAN_CAP fall back to the span-bucketed
 # per-keypoint kernel above.
 
-# Two tile levels; keypoints route to the smallest level whose caps
+# Tile levels; keypoints route to the smallest level whose caps
 # cover them, the rest to the bucketed fallback.  A level's row margin
 # MR covers spans <= MR-1 (stage A contracts full tile rows); its
 # column-window half-offset (WC-128)//2 covers the same span; the
 # wavelet half-size cap keeps the stage-B band-sum bound
 # |A[c]-A[cs]| <= 2*255*s*WC under the exact 3-limb budget
 # (127 * 2^16 = 8.32M).
-# A second level ((512, 1024, 512, 128, 127, 31), absorbing octave-1/2
-# keypoints) measured net-negative: its full-tile stage-A contractions
-# cost as much per keypoint as the bucketed fallback it displaced, plus
-# one more path of fixed overhead.
+# Level 0 (120, 256): sized for the small-step bulk — octave-0
+# keypoints are step 1-2 with span <= 39 (step 2: irad <= 17, s <= 4;
+# step 1: irad <= 22, s <= 2 -> span <= 25) — 255*120*256 = 7.83M
+# stays under the 3-limb stage-A capacity (8.356M; 128 rows would
+# exceed it by 129) and each stacked stage-A matmul is (G*RW, 120) @
+# (120, 256), ~5x fewer MACs per limb and one less limb than level 1.
+# Level 1 (256, 512) takes the remaining span <= 63.
+# A LARGER level 2 ((512, 1024, 512, 128, 127, 31), absorbing
+# octave-1/2 keypoints) measured net-negative in round 2: its
+# full-tile stage-A contractions cost as much per keypoint as the
+# bucketed fallback it displaced, plus one more path of fixed overhead.
 #          TE_R  TE_C    WC   MR  span_cap  s_cap
-_LEVELS = ((256, 512,   256,  64,   63,      62),)
+# (an A/B with a fatter level 0 — (256, 256), 60 tiles instead of 230 —
+# measured WORSE: 1.53 vs 1.43 ms for the same 1264 keypoints, so
+# per-grid-step overhead is not the supertile's floor)
+_LEVELS = ((120, 256,   256,  40,   39,      38),
+           (256, 512,   256,  64,   63,      62))
 
 _TILE_GROUP = 8         # keypoints per stacked stage-A matmul
 
@@ -1063,6 +1082,7 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     span = irad * step + iscale + 1
     remaining = valid
     rows = None
+    covered = 0
     for lv, (_, _, _, _, span_cap, s_cap) in enumerate(_LEVELS):
         elig = remaining & (span <= span_cap) & (iscale <= s_cap)
         r = _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams,
@@ -1070,10 +1090,14 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                            row_base=row_base, frame_rows=frame_rows)
         rows = r if rows is None else rows + r
         remaining = remaining & ~elig
+        covered = span_cap
         if max_span <= span_cap:
             break
-    if max_span > _LEVELS[0][4]:
-        span_lo = _LEVELS[0][4]
+    if max_span > covered:
+        # every keypoint the levels could not take has span > covered
+        # (a level's s_cap cannot exclude span <= span_cap keypoints:
+        # span >= s + 1 and s_cap >= span_cap - 1)
+        span_lo = covered
         if row_base is None:
             rows = rows + _run_bucketed(
                 ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,
