@@ -57,6 +57,20 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+# Kernel-mode helpers: Pallas-kernel tests run Mosaic-compiled on the
+# chip under SURF_TPU_TESTS=1 (catching miscompiles/VMEM regressions in
+# the real kernels) and under the interpreter on CPU.
+KERNEL_INTERPRET = not _TPU_LANE
+
+
+def kernel_wavelet_method() -> str:
+    return "pallas" if _TPU_LANE else "interpret"
+
+
+def kernel_detect_backend() -> str:
+    return "fused" if _TPU_LANE else "fused_interpret"
+
+
 REFERENCE_DATA = "/root/reference/data"
 
 

@@ -19,6 +19,7 @@ from cuda_surf_tpu.ops.integral import integral_image, phase_planes_packed
 from cuda_surf_tpu.ops.hessian import response_pyramid
 from cuda_surf_tpu.ops.extrema import _candidate_mask, detect
 from cuda_surf_tpu.ops import fused_detect as fd
+from conftest import KERNEL_INTERPRET, kernel_detect_backend
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +35,7 @@ def img():
 @pytest.fixture(scope="module")
 def cfg():
     return SurfConfig(noctaves=4, thresh=4.0, upright=True,
-                      detect_backend="fused_interpret")
+                      detect_backend=kernel_detect_backend())
 
 
 def _reference(img, cfg):
@@ -50,7 +51,7 @@ def test_layers_and_masks_match_xla(img, cfg):
     h, w = img.shape
     pyr_ref, masks_ref = _reference(img, cfg)
     pyr_f, masks_f = fd.fused_pyramid(jnp.asarray(img), cfg, h, w,
-                                      interpret=True)
+                                      interpret=KERNEL_INTERPRET)
     n_cand = 0
     for o in range(cfg.noctaves):
         a, b = np.asarray(pyr_ref[o]), np.asarray(pyr_f[o])
@@ -69,8 +70,8 @@ def test_multiband_split_matches_single_band(img, cfg):
         plan = fd.octave_plan(cfg, sched, shapes, o)
         planes = phase_planes_packed(jnp.asarray(img), plan["d"],
                                      plan["keys"], plan["hp"], plan["wq"])
-        l1, c1 = fd.fused_octave(planes, plan, cfg, interpret=True)
-        ln, cn = fd.fused_octave(planes, plan, cfg, interpret=True,
+        l1, c1 = fd.fused_octave(planes, plan, cfg, interpret=KERNEL_INTERPRET)
+        ln, cn = fd.fused_octave(planes, plan, cfg, interpret=KERNEL_INTERPRET,
                                  max_band_bytes=64 * 1024)
         assert (np.asarray(l1) == np.asarray(ln)).all()
         assert (np.asarray(c1) == np.asarray(cn)).all()
@@ -85,7 +86,7 @@ def test_detect_pipeline_parity(img, cfg):
     pyr_ref, _ = _reference(img, cfg)
     ref = detect(pyr_ref, sched, cfg)
     pyr_f, masks_f = fd.fused_pyramid(jnp.asarray(img), cfg, h, w,
-                                      interpret=True)
+                                      interpret=KERNEL_INTERPRET)
     out = detect(pyr_f, sched, cfg, cand_masks=masks_f)
     assert int(ref["count"]) == int(out["count"])
     v = np.asarray(ref["valid"])

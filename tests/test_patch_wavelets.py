@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from cuda_surf_tpu.ops.patch_wavelets import wavelet_grids, bucket_specs
+from conftest import KERNEL_INTERPRET, kernel_wavelet_method
 
 
 def _integral(img):
@@ -50,7 +51,7 @@ def test_wavelet_grids_match_box_sums(rng):
     max_span = int((irad * step + iscale + 1).max())
 
     dyg, dxg = jax.jit(lambda *a: wavelet_grids(
-        *a, R=R, max_span=max_span, interpret=True))(
+        *a, R=R, max_span=max_span, interpret=KERNEL_INTERPRET))(
         iij, jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(step),
         jnp.asarray(iscale), jnp.asarray(irad), jnp.asarray(valid))
     dyg, dxg = np.asarray(dyg), np.asarray(dxg)
@@ -91,7 +92,7 @@ def test_bucket_overflow_cascades(rng):
 
     def run(caps):
         dy, dx = jax.jit(lambda *a: wavelet_grids(
-            *a, R=R, max_span=max_span, caps=caps, interpret=True))(
+            *a, R=R, max_span=max_span, caps=caps, interpret=KERNEL_INTERPRET))(
             iij, jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(step),
             jnp.asarray(iscale), jnp.asarray(irad), jnp.asarray(valid))
         return np.asarray(dy), np.asarray(dx)
@@ -122,7 +123,7 @@ def test_streaming_path_matches_resident(rng):
 
     def run(res):
         dy, dx = jax.jit(lambda *a: wavelet_grids(
-            *a, R=R, max_span=max_span, interpret=True, resident=res))(
+            *a, R=R, max_span=max_span, interpret=KERNEL_INTERPRET, resident=res))(
             iij, jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(step),
             jnp.asarray(iscale), jnp.asarray(irad), jnp.asarray(valid))
         return np.asarray(dy), np.asarray(dx)
@@ -150,7 +151,7 @@ def test_describe_pallas_interpret_matches_gather(small_image):
 
     cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
                       wavelet_method="gather")
-    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
     img = jnp.asarray(small_image)
     kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
     kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
@@ -167,7 +168,7 @@ def test_extended_descriptor_pallas_interpret(small_image):
 
     cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
                       extended=True, wavelet_method="gather")
-    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
     img = jnp.asarray(small_image)
     kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
     kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
@@ -184,7 +185,7 @@ def test_doubled_descriptor_pallas_interpret(small_image):
 
     cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
                       doubled=True, wavelet_method="gather")
-    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
     img = jnp.asarray(small_image[:64, :80])
     kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
     kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
@@ -201,7 +202,7 @@ def test_orientation_pallas_interpret_matches_gather(small_image):
 
     cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
                       upright=False, wavelet_method="gather")
-    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
     img = jnp.asarray(small_image)
     kpA, dA = jax.jit(lambda im: detect_and_compute(im, cfgA))(img)
     kpB, dB = jax.jit(lambda im: detect_and_compute(im, cfgB))(img)
@@ -222,7 +223,7 @@ def test_nondefault_config_parity(small_image):
     for kw in (dict(desc_wsz=3), dict(init_mask_size=15)):
         cfgA = SurfConfig(noctaves=2, max_pts=256, candidates_per_octave=512,
                           wavelet_method="gather", **kw)
-        cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+        cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
         img = jnp.asarray(small_image)
         kpA, dA = jax.jit(lambda im, c=cfgA: detect_and_compute(im, c))(img)
         kpB, dB = jax.jit(lambda im, c=cfgB: detect_and_compute(im, c))(img)
@@ -256,7 +257,7 @@ def test_supertile_seam_keypoints(rng):
     ori = np.zeros_like(y)
 
     cfgA = SurfConfig(noctaves=2, max_pts=y.size, wavelet_method="gather")
-    cfgB = dataclasses.replace(cfgA, wavelet_method="interpret")
+    cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
     dA = jax.jit(lambda: describe(
         ii, cfgA, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
         jnp.asarray(scale, jnp.float32), jnp.asarray(ori, jnp.float32),
