@@ -33,6 +33,8 @@ from cuda_surf_tpu.ops.integral import integral_image
 from cuda_surf_tpu.ops import patch_wavelets as pw
 
 DATA = "/root/reference/data"
+# probe the (default-disabled) step-decimated kernels at these steps
+DEC_PROBE_STEPS = (4, 5, 6, 7, 8)
 
 
 def desc_params(cfg, ii, kps):
@@ -116,17 +118,42 @@ def main():
                                 min_span=pw._LEVELS[-1][4],
                                 rad_bound_fn=cfg.desc_iradius_bound)
 
+    def f_dec(ii, ix, iy, step, iscale, irad, r, fparams):
+        # the step-decimated kernels exactly as descriptor_rows routes
+        rows = None
+        rem = r
+        for SD in DEC_PROBE_STEPS:
+            rb, sm = cfg.desc_step_bounds(SD)
+            out, taken = pw._run_step_dec(
+                ii, ix, iy, step, iscale, irad, rem & (step == SD),
+                fparams, SD=SD, R_b=rb, s_max=sm, cfg_s=cfg_s)
+            rows = out if rows is None else rows + out
+            rem = rem & ~taken
+        return rows, rem
+
     base = (ii, ix, iy, step, iscale, irad)
     rows = [("desc_full", jax.jit(f_full), base + (valid, fparams))]
     for lv, e in enumerate(eligs):
         rows.append((f"desc_supertile_l{lv}", jax.jit(make_tile(lv)),
                      base + (jnp.asarray(e), fparams)))
-    rows.append(("desc_bucketed", jax.jit(f_fall),
+    rows.append(("desc_dec", jax.jit(f_dec),
+                 base + (jnp.asarray(remaining), fparams)))
+    # the step >= 9 tail that stays bucketed after decimation routing
+    step_np = np.asarray(step)
+    tail = remaining.copy()
+    for SD in DEC_PROBE_STEPS:
+        tail = tail & ~(step_np == SD)
+    rows.append(("desc_bucketed_tail", jax.jit(f_fall),
+                 base + (jnp.asarray(tail), fparams)))
+    rows.append(("desc_bucketed_all", jax.jit(f_fall),
                  base + (jnp.asarray(remaining), fparams)))
     counts = {f"desc_supertile_l{lv}": int(e.sum())
               for lv, e in enumerate(eligs)}
-    counts["desc_bucketed"] = int(remaining.sum())
+    counts["desc_dec"] = int(sum((np.asarray(step) == SD) & remaining
+                              for SD in DEC_PROBE_STEPS).sum())
+    counts["desc_bucketed_all"] = int(remaining.sum())
     counts["desc_full"] = int(vnp.sum())
+    counts["desc_bucketed_tail"] = int(tail.sum())
     for name, fn, a in rows:
         ms = time_fn(fn, a, args.iters)
         n = counts[name]

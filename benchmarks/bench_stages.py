@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=0, metavar="B",
                     help="profile detect_and_compute_batch's stages at "
                          "batch size B instead of the single-frame path")
+    ap.add_argument("--rotated", action="store_true",
+                    help="profile the rotation-invariant path: isolates "
+                         "orientation assignment and rotated describe")
     args = ap.parse_args()
 
     cfg = SurfConfig(noctaves=4, thresh=4.0, upright=True, max_pts=4096,
@@ -53,6 +56,8 @@ def main():
     fused = use_fused(cfg)
     if args.batch:
         return batch_stages(cfg, img, args)
+    if args.rotated:
+        return rotated_stages(cfg, img, args)
 
     def s_integral(im):
         return integral_image(im)
@@ -112,6 +117,50 @@ def main():
     for row in rows:
         print(json.dumps({"metric": "stage_ms", **row,
                           "device": str(jax.devices()[0])}))
+
+
+def rotated_stages(cfg, img, args):
+    """Incremental variants isolating the rotated path's extra stages:
+    orientation assignment (a second bucketed patch pass + windowed
+    histogram) and the rotated in-kernel binning."""
+    import dataclasses
+    from cuda_surf_tpu.ops.orientation import assign_orientations
+    from cuda_surf_tpu.ops.integral import integral_image as s_ii
+
+    rcfg = dataclasses.replace(cfg, upright=False)
+
+    def kp_only(im):
+        return detect_and_compute(im, rcfg, compute_descriptors=False)
+
+    def kp_orient(im):
+        kps, _ = detect_and_compute(im, rcfg, compute_descriptors=False)
+        ii = s_ii(im)
+        return assign_orientations(ii, rcfg, kps.x, kps.y, kps.scale,
+                                   kps.valid)
+
+    def full_rot(im):
+        return detect_and_compute(im, rcfg)
+
+    def full_upright(im):
+        return detect_and_compute(im, cfg)
+
+    stages = [("r_keypoints", kp_only), ("r_orientation", kp_orient),
+              ("r_full", full_rot), ("upright_full", full_upright)]
+    prev = 0.0
+    for name, fn in stages:
+        f = jax.jit(fn)
+        r = f(img)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(args.iters):
+            r = f(img)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        ms = (time.time() - t0) / args.iters * 1e3
+        print(json.dumps({"metric": "rot_stage_ms", "stage": name,
+                          "cumulative_ms": round(ms, 3),
+                          "stage_ms": round(ms - prev, 3),
+                          "device": str(jax.devices()[0])}), flush=True)
+        prev = ms
 
 
 def batch_stages(cfg, img, args):

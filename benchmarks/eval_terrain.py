@@ -30,7 +30,11 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -62,19 +66,40 @@ def main():
     ap.add_argument("--loop-store", type=int, default=None,
                     help="ring-cap on frames retaining full "
                          "loop-verification features")
+    ap.add_argument("--cache", default=None, metavar="PATH.npz",
+                    help="cache rendered frames (the 400-frame 320x440 "
+                         "render is ~14 min of host ray-marching)")
     args = ap.parse_args()
 
     t0 = time.time()
-    if args.forward:
-        from cuda_surf_tpu.slam.sequence import render_forward_sequence
-        frames, centres, intr = render_forward_sequence(
-            n_frames=args.frames, h=args.height, w=args.width,
-            seed=args.seed)
-    else:
-        frames, centres, intr = render_terrain_sequence(
-            n_frames=args.frames, h=args.height, w=args.width,
-            seed=args.seed)
-    print(f"rendered {args.frames} frames in {time.time() - t0:.0f}s")
+    cache_ok = False
+    if args.cache and os.path.exists(args.cache):
+        import numpy as _np
+        d = _np.load(args.cache)
+        if (d["frames"].shape == (args.frames, args.height, args.width)
+                and int(d["seed"]) == args.seed
+                and bool(d["forward"]) == args.forward):
+            frames, centres = d["frames"], d["centres"]
+            from cuda_surf_tpu.slam.tracking import Intrinsics
+            intr = Intrinsics(*[float(v) for v in d["intr"]])
+            cache_ok = True
+            print(f"loaded {args.frames} cached frames")
+    if not cache_ok:
+        if args.forward:
+            from cuda_surf_tpu.slam.sequence import render_forward_sequence
+            frames, centres, intr = render_forward_sequence(
+                n_frames=args.frames, h=args.height, w=args.width,
+                seed=args.seed)
+        else:
+            frames, centres, intr = render_terrain_sequence(
+                n_frames=args.frames, h=args.height, w=args.width,
+                seed=args.seed)
+        print(f"rendered {args.frames} frames in {time.time() - t0:.0f}s")
+        if args.cache:
+            import numpy as _np
+            _np.savez_compressed(args.cache, frames=frames,
+                                 centres=centres, intr=list(intr),
+                                 seed=args.seed, forward=args.forward)
 
     pipe = SlamPipeline(
         SurfConfig(noctaves=3, thresh=2.0, max_pts=1024,

@@ -175,6 +175,23 @@ class SurfConfig:
             s += 0.01
         return best + 1
 
+    @functools.lru_cache(maxsize=None)
+    def desc_step_bounds(self, step: int) -> tuple[int, int]:
+        """(max_iradius, max_iscale) over reachable scales whose
+        descriptor sampling step equals `step` — static shape bounds for
+        the step-bucketed decimated descriptor kernel.  +1 margins for
+        the 0.01 scan granularity (both are piecewise constant in scale
+        with unit jumps)."""
+        best_rad, best_s = 0, 0
+        s = 0.5
+        while s < self._max_scale_value:
+            st, iscale, rad = self._desc_geometry(s)
+            if st == step:
+                best_rad = max(best_rad, rad)
+                best_s = max(best_s, iscale)
+            s += 0.01
+        return best_rad + 1, best_s + 1
+
     @functools.cached_property
     def max_ori_span(self) -> int:
         """Patch half-extent bound for orientation sampling

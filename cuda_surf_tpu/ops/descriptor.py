@@ -89,6 +89,12 @@ def describe(ii: jnp.ndarray, cfg: SurfConfig,
             jnp.zeros_like(fracr), jnp.zeros_like(fracr),
             jnp.zeros_like(fracr)], axis=0)
         iy_g = iy if row_base is None else iy + row_base
+        # static per-step shape bounds for the decimated large-step
+        # kernels (single-frame, non-doubled only)
+        dec_bounds = None
+        if row_base is None and not cfg.doubled:
+            from .patch_wavelets import DEC_STEPS
+            dec_bounds = {s: cfg.desc_step_bounds(s) for s in DEC_STEPS}
         rows = descriptor_rows(
             ii, ix, iy_g, step, iscale, iradius, valid, fparams,
             R=cfg.max_iradius, max_span=cfg.max_desc_span,
@@ -97,7 +103,7 @@ def describe(ii: jnp.ndarray, cfg: SurfConfig,
             interpret=cfg.wavelet_method == "interpret",
             rad_bound_fn=cfg.desc_iradius_bound, row_base=row_base,
             frame_rows=None if row_base is None else ih,
-            slab=slab, nframes=nframes)
+            slab=slab, nframes=nframes, dec_bounds=dec_bounds)
         return l2_normalize(rows[:, :cfg.nfeatures])
 
     base = row_base if row_base is not None else jnp.zeros_like(ix)

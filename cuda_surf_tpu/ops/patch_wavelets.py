@@ -1034,6 +1034,203 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     return jnp.take(out, dest, axis=0)
 
 
+# --- step-decimated fallback (descriptors for large-step keypoints) -------
+#
+# The span-bucketed fallback's cost is stage-A dominated (ablation:
+# 1.5 of 2.3 us/keypoint): its row-combination matmuls contract the
+# keypoint's full (E_r, E_c) patch although the dy/dx stencils only
+# touch 4 row-offset classes {br, br+1, br-s, br+s+1} of an arithmetic
+# progression with stride `step`.  For a STATIC step SD, decimating the
+# integral image rows into SD phase planes makes each offset class a
+# CONTIGUOUS row range of one plane, so stage A collapses from m1 limb
+# matmuls over E_r rows to six (RH_b, E_cw) dynamic slices and adds —
+# no row matmul at all.  Stage B (column-selection matmuls, re-anchored
+# to the keypoint's column window so three limbs stay exact) and the
+# binning are unchanged.  One kernel per step value in DEC_STEPS;
+# leftover steps keep the bucketed path.
+#
+# MEASURED AND DISABLED (hardware, left.pgm, round 4): the per-keypoint
+# stage-A work does collapse, but five per-step pallas calls each pay a
+# resident-plane DMA + XLA decimation transpose + launch (~0.15-0.2 ms
+# fixed), so the composition LOSES to the span-bucketed fallback it
+# replaces: dec (599 kps) 1.26 ms + step>=9 tail (181 kps) 1.09 ms =
+# 2.34 ms vs 1.77 ms for the plain fallback on the same 780 keypoints.
+# Worth revisiting only with a single multi-step kernel (planes for all
+# steps exceed VMEM; would need per-keypoint HBM window DMAs).
+# descriptor_rows routes through it only when DEC_STEPS is non-empty.
+
+DEC_STEPS = ()
+
+
+def _kernel_sdec(count_ref, meta_ref, fpar_ref, planes_hbm, out_ref,
+                 planes, stk, sem, *, SD, P0, R_b, RH_b, E_cw, CH, HQ,
+                 m1, m2, cfg_s):
+    """Grid step = CH keypoints against the VMEM-resident decimated
+    planes ((SD*HQ, Wp) int32; image row r lives at plane row
+    ((r+P0) % SD) * HQ + (r+P0)//SD).  meta rows: [iy, ix, s, irad, c0].
+
+    The four stencil row classes {0, +1, -s, s+1} are each a CONTIGUOUS
+    row range of one plane, but their starts are not 8-aligned (Mosaic
+    requires provable sublane alignment), so each class loads an
+    8-ALIGNED (RH8, E_cw) window into the `stk` scratch and one small
+    shift-combination matmul (RW_b, 4*RH8) @ (4*RH8, E_cw) — +/-1
+    entries at the per-class shifted rows delta = q0 - align8(q0) —
+    produces both dy and dx row-combined operands.  Its K-dim 4*RH8
+    (~190) replaces the bucketed fallback's full patch height
+    (256-992): stage A stops scaling with keypoint span.
+    """
+    gid = pl.program_id(0)
+    count = count_ref[0]
+    base = gid * CH
+    RH8 = RH_b + 8
+    RW_b = 2 * RH_b
+    R2 = 2 * R_b + 1
+
+    @pl.when(gid == 0)
+    def _():
+        cp = pltpu.make_async_copy(planes_hbm, planes, sem.at[0])
+        cp.start()
+        cp.wait()
+
+    n_here = jnp.clip(count - base, 0, CH)
+
+    def body(j, carry):
+        k = base + j
+        iy = meta_ref[0, k]
+        ix = meta_ref[1, k]
+        s = meta_ref[2, k]
+        irad = meta_ref[3, k]
+        c0 = pl.multiple_of(meta_ref[4, k], 128)
+
+        deltas = []
+        for ci_, o in enumerate((jnp.int32(0), jnp.int32(1), -s, s + 1)):
+            t = iy + o + P0
+            q0 = lax.rem(t, SD) * HQ + t // SD - R_b
+            q8 = pl.multiple_of((q0 // 8) * 8, 8)
+            stk[ci_ * RH8:(ci_ + 1) * RH8] = \
+                planes[pl.ds(q8, RH8), pl.ds(c0, E_cw)]
+            deltas.append(q0 - q8)
+
+        # W[r, e]: dy rows r in [0, RH_b) combine classes (+0 +1 -2 -3),
+        # dx rows r in [RH_b, RW_b) combine (+3 -2); class c contributes
+        # at its shifted row g + delta_c of block c
+        ri = lax.broadcasted_iota(jnp.int32, (RW_b, 4 * RH8), 0)
+        e = lax.broadcasted_iota(jnp.int32, (RW_b, 4 * RH8), 1)
+        ce = e // RH8
+        re = e - ce * RH8
+        is_dy = ri < RH_b
+        g = jnp.where(is_dy, ri, ri - RH_b)
+        d_c = jnp.where(ce == 0, deltas[0],
+                        jnp.where(ce == 1, deltas[1],
+                                  jnp.where(ce == 2, deltas[2],
+                                            deltas[3])))
+        sgn_dy = jnp.where(ce <= 1, 1, -1)
+        sgn_dx = jnp.where(ce == 3, 1, jnp.where(ce == 2, -1, 0))
+        match = (re == g + d_c) & (g < R2)
+        W = jnp.where(match, jnp.where(is_dy, sgn_dy, sgn_dx), 0)
+
+        A = _dot_limbs(stk[...], W, m1, left=True)
+        # re-anchor: |row band sums| <= 255*(2s+1)*E_cw -> m2 limbs exact
+        a_dy = A[:RH_b] - A[:RH_b, 0:1]
+        a_dx = A[RH_b:] - A[RH_b:, 0:1]
+        isc = (iy, ix - c0, jnp.int32(SD), s, irad)
+        cdy, cdx = _col_weights(0, isc, R=R_b, CC=E_cw)
+        dyv = _dot_limbs(a_dy, cdy, m2).astype(jnp.float32)
+        dxv = _dot_limbs(a_dx, cdx, m2).astype(jnp.float32)
+        gscalars = (iy, ix, jnp.int32(SD), s, irad)
+        fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
+                    fpar_ref[3, k], fpar_ref[4, k])
+        out_ref[j] = _bin_descriptor(
+            dyv, dxv, gscalars, fscalars, R=R_b, RH=RH_b, cfg_s=cfg_s)
+        return carry
+
+    lax.fori_loop(0, n_here, body, 0)
+
+    def zero_body(j, carry):
+        out_ref[j] = jnp.zeros((128,), jnp.float32)
+        return carry
+
+    lax.fori_loop(n_here, CH, zero_body, 0)
+
+
+def _run_step_dec(ii, ix, iy, step, iscale, irad, elig, fparams, *,
+                  SD, R_b, s_max, cfg_s, cap=512, interpret=False):
+    """Descriptor rows for `elig` keypoints of static step SD.
+
+    Returns (rows (K, 128) — zero outside the placed set — and the
+    boolean mask of keypoints actually placed; overflow beyond `cap`
+    stays unplaced and must be routed to the bucketed fallback)."""
+    K = ix.shape[0]
+    h, w = ii.shape
+    Wp = _round_up(w, 128)
+    R2 = 2 * R_b + 1
+    RH_b = _round_up(R2, 8)
+    # top/bottom zero padding so every stencil row of every in-image
+    # keypoint resolves to a valid plane row (out-of-image samples read
+    # zeros and are masked by the binning's border checks); RH_b + 9
+    # covers the R_b rows above the first sample, the RH_b - R_b padded
+    # grid rows below the last, AND the aligned-load over-read of up to
+    # 8 rows (the kernel reads (RH_b + 8)-row windows from 8-aligned
+    # starts; HQ is an 8-multiple so those windows never cross a plane
+    # boundary)
+    PAD = RH_b + 9 + (s_max + SD - 1) // SD
+    P0 = PAD * SD
+    # column window: full margin, or the whole (padded) width for small
+    # images — safe exactly because c0 = 0 then covers every in-image
+    # column (an intermediate width would zero un-masked samples)
+    E_cw = min(_round_up(2 * (R_b * SD + s_max + 1) + 132, 128), Wp)
+    HQ = _round_up(-(-(h + 2 * P0) // SD), 8)
+    ii_ext = jnp.zeros((HQ * SD, Wp), jnp.int32)
+    ii_ext = lax.dynamic_update_slice(
+        ii_ext, jnp.pad(ii, ((0, 0), (0, Wp - w))), (P0, 0))
+    planes = ii_ext.reshape(HQ, SD, Wp).transpose(1, 0, 2).reshape(
+        SD * HQ, Wp)
+
+    CH = 16
+    cap = _round_up(min(cap, _round_up(K, 16)), CH)
+    rank = jnp.cumsum(elig.astype(jnp.int32)) - 1
+    take = elig & (rank < cap)
+    dest = jnp.where(take, rank, cap)
+    sel = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(
+        jnp.arange(K, dtype=jnp.int32))[:cap]
+    bix = jnp.take(ix, sel)
+    c0 = (jnp.clip(bix - E_cw // 2 + 64, 0, Wp - E_cw) // 128) * 128
+    meta = jnp.stack([jnp.take(iy, sel), bix, jnp.take(iscale, sel),
+                      jnp.take(irad, sel), c0], axis=0)
+    fpar = jnp.take(fparams, sel, axis=1)
+    count = jnp.sum(take).astype(jnp.int32).reshape(1)
+
+    m1 = _limbs_for(255 * h * Wp)
+    m2 = _limbs_for(255 * (2 * s_max + 1) * E_cw)
+    kernel = functools.partial(_kernel_sdec, SD=SD, P0=P0, R_b=R_b,
+                               RH_b=RH_b, E_cw=E_cw, CH=CH, HQ=HQ,
+                               m1=m1, m2=m2, cfg_s=cfg_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(cap // CH,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((CH, 128), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((SD * HQ, Wp), jnp.int32),
+            pltpu.VMEM((4 * (RH_b + 8), E_cw), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cap, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(SD * HQ * Wp * 4 + cap * 512
+                                 + 6 * 2 ** 20, 15 * 2 ** 20)),
+        interpret=interpret,
+    )(count, meta, fpar, planes)
+    out = jnp.concatenate([out, jnp.zeros((1, 128), jnp.float32)])
+    rows = jnp.take(out, jnp.where(take, rank, cap), axis=0)
+    return rows, take
+
+
 def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
                   caps=None, interpret=False, resident=None):
     """Haar dy/dx on each keypoint's (2R+1)^2 sample grid.
@@ -1059,7 +1256,7 @@ def wavelet_grids(ii, ix, iy, step, iscale, irad, valid, *, R, max_span,
 def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
                     R, max_span, cfg_s, caps=None, interpret=False,
                     rad_bound_fn=None, row_base=None, frame_rows=None,
-                    slab=None, nframes=None):
+                    slab=None, nframes=None, dec_bounds=None):
     """Full in-kernel SURF descriptors: (K, 128) unnormalized rows
     (features in lanes [0, wsz*wsz*osz)).  fparams is (8, K) float32
     rows [fracr, fracc, spacing, sine, cose]; cfg_s is the static
@@ -1098,6 +1295,20 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
         # (a level's s_cap cannot exclude span <= span_cap keypoints:
         # span >= s + 1 and s_cap >= span_cap - 1)
         span_lo = covered
+        if dec_bounds and row_base is None:
+            # step-decimated kernels for the common large-step values;
+            # overflow/odd steps cascade to the bucketed fallback below
+            for SD in DEC_STEPS:
+                if SD not in dec_bounds:
+                    continue
+                R_b, s_max = dec_bounds[SD]
+                elig_s = remaining & (step == SD)
+                r, taken = _run_step_dec(
+                    ii, ix, iy, step, iscale, irad, elig_s, fparams,
+                    SD=SD, R_b=R_b, s_max=s_max, cfg_s=cfg_s,
+                    interpret=interpret)
+                rows = rows + r
+                remaining = remaining & ~taken
         if row_base is None:
             rows = rows + _run_bucketed(
                 ii, ix, iy, step, iscale, irad, remaining, fparams, R=R,

@@ -133,8 +133,14 @@ def optimize(graph: Sim3Graph, n_iters: int = 12, damping: float = 1e-6,
 
 
 def centres(graph: Sim3Graph) -> np.ndarray:
-    """Camera centres: s R c + t = 0 -> c = -(1/s) R^T t."""
+    """Camera centres: s R c + t = 0 -> c = -(1/s) R^T t.
+
+    A node whose scale collapsed toward zero (non-converged optimization
+    on a degenerate edge set) is clamped rather than emitting inf/nan —
+    callers compare ATE, where one meaningless-but-finite centre is
+    strictly better than poisoning the whole alignment."""
     s = np.asarray(graph.s)[:, None]
+    s = np.where(np.abs(s) > 1e-12, s, 1e-12)
     R = np.asarray(graph.R)
     t = np.asarray(graph.t)
     return -np.einsum("nij,ni->nj", R.transpose(0, 2, 1), t) / s

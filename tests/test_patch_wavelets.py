@@ -267,3 +267,45 @@ def test_supertile_seam_keypoints(rng):
         jnp.asarray(scale, jnp.float32), jnp.asarray(ori, jnp.float32),
         jnp.asarray(valid)))()
     np.testing.assert_allclose(np.asarray(dA), np.asarray(dB), atol=2e-6)
+
+
+def test_step_decimated_descriptor_parity(rng):
+    """The step-decimated kernels (disabled by default — see DEC_STEPS
+    in ops/patch_wavelets.py — but kept for the multi-step revisit)
+    must match the bucketed fallback exactly, including keypoints near
+    image borders and the step tail that stays bucketed."""
+    import dataclasses
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.ops import patch_wavelets as pw
+    from cuda_surf_tpu.ops.descriptor import describe
+
+    img = rng.integers(0, 256, (360, 520), np.uint8)
+    ii = jnp.asarray(_integral(img).astype(np.int32))
+
+    # scales chosen so steps cover 4..9 (work = 1.65*scale, step =
+    # round(work/2)); duplicated at interior and border positions
+    scales = [4.5, 5.6, 6.8, 8.0, 9.2, 10.4, 11.0]
+    xs = [60.3, 250.0, 510.5, 30.2, 400.8, 200.1, 8.0]
+    ys = [55.7, 180.4, 300.9, 352.5, 12.3, 150.6, 355.0]
+    x = np.array(xs * 2, np.float32)
+    y = np.array(ys * 2, np.float32)
+    scale = np.array(scales * 2, np.float32)
+    valid = np.ones(x.shape, bool)
+    valid[-1] = False
+    ori = np.zeros_like(x)
+
+    cfgA = SurfConfig(noctaves=4, max_pts=x.size, wavelet_method="gather")
+    cfgB = dataclasses.replace(cfgA, wavelet_method=kernel_wavelet_method())
+    args = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(scale),
+            jnp.asarray(ori), jnp.asarray(valid))
+    dA = jax.jit(lambda: describe(ii, cfgA, *args))()
+
+    dec_steps = (4, 5, 6, 7, 8)
+    orig = pw.DEC_STEPS
+    pw.DEC_STEPS = dec_steps
+    try:
+        dB = jax.jit(lambda: describe(ii, cfgB, *args))()
+    finally:
+        pw.DEC_STEPS = orig
+    np.testing.assert_allclose(np.asarray(dA), np.asarray(dB), atol=2e-6)
+    assert np.any(np.asarray(dB) != 0)

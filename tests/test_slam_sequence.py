@@ -342,3 +342,38 @@ def test_tracking_failure_holds_pose_and_depth(plane_seq):
     traj = pipe.trajectory()
     assert np.isfinite(traj).all()
     assert np.linalg.norm(traj[-1] - traj[0]) < 10.0
+
+
+@pytest.mark.slow
+def test_long_sequence_cascade_regression():
+    """Long-sequence production-path regression (PERF.md round 4): a
+    150-frame terrain orbit with loop closure, windowed BA and
+    checkpointing must verify a healthy number of closures and the
+    SE(3) pose graph must not corrupt the trajectory.  At this reduced
+    resolution VO drift is near the orbit radius and the graph only
+    trims it (hardware reference: VO 0.2783 -> SE3 0.2715, 69 loops);
+    the full-quality flagship is the 400-frame 320x440 run recorded in
+    PERF.md (VO 0.2155 -> SE3 0.1277).  The loop gap scales with
+    sequence length (~N/5): near-neighbour 'loops' measurably make the
+    graph worse."""
+    import tempfile
+    from cuda_surf_tpu import SurfConfig
+    from cuda_surf_tpu.slam import SlamPipeline, ate_rmse, run_sequence
+    from cuda_surf_tpu.slam.sequence import render_terrain_sequence
+
+    frames, centres, intr = render_terrain_sequence(
+        n_frames=150, h=200, w=280, seed=0)
+    with tempfile.TemporaryDirectory() as ckpt:
+        pipe = SlamPipeline(
+            SurfConfig(noctaves=3, thresh=2.0, max_pts=1024,
+                       candidates_per_octave=1024),
+            intrinsics=intr, loop_detect=True, loop_min_gap=30,
+            window_ba=8)
+        res = run_sequence(pipe, frames, gt=centres, checkpoint_dir=ckpt,
+                           checkpoint_every=60)
+    ate_vo = res.ate
+    pipe.optimize_posegraph()
+    ate_se3 = ate_rmse(pipe.trajectory(), centres)
+    assert len(pipe.loops) > 20
+    assert ate_se3 < ate_vo * 1.02  # must not corrupt the chain
+    assert ate_se3 < 0.30           # hardware: 0.2715 (radius 0.28)
