@@ -58,7 +58,26 @@ def match_keypoints(kp1: Keypoints, desc1: jnp.ndarray,
     With `cross_check`, matches that are not mutual nearest neighbours
     are marked invalid (the symmetric filter the reference leaves to
     its caller) — one extra masked-argmax over the same score matrix.
+
+    On TPU the one-directional path runs the fused Pallas kernel
+    (ops/matcher_pallas.py): the score matrix never leaves VMEM, vs
+    several HBM round trips of the (N1, N2) f32 matrix here.  NOTE:
+    do not vmap this on TPU — batch via lax.map (parallel.BatchSurf
+    does).
     """
+    from .matcher_pallas import fused_best2, use_fused_matcher
+    if not cross_check and use_fused_matcher():
+        neg = jnp.float32(-1e30)
+        best, second, index = fused_best2(desc1, desc2, kp2.valid)
+        return Matches(
+            score=best,
+            index=index,
+            match_x=kp2.x[index],
+            match_y=kp2.y[index],
+            ambiguity=jnp.where(second > neg,
+                                second / (best + jnp.float32(1e-6)), 0.0),
+            valid=kp1.valid & (best > neg),
+        )
     scores = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGH)
     m = match(desc1, kp1.valid, desc2, kp2.valid, kp2.x, kp2.y,

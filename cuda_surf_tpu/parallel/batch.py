@@ -49,7 +49,10 @@ class BatchSurf:
 
         @jax.jit
         def _match(kp1, d1, kp2, d2):
-            return jax.vmap(match_keypoints)(kp1, d1, kp2, d2)
+            # lax.map, not vmap: the TPU path uses the fused Pallas
+            # matcher, which must run per-pair (like the frontend)
+            return jax.lax.map(lambda t: match_keypoints(*t),
+                               (kp1, d1, kp2, d2))
 
         self._match = _match
 
