@@ -12,9 +12,12 @@ best/second/index vectors — the reference's per-thread max tracking
 (findMaxCorr, surfd.cu:2610-2626) re-expressed as a streaming tile
 reduction.
 
-Semantics are bit-compatible with ops/matcher.match: first-index
-argmax ties, second-best excludes only the argmax column, invalid
-set-2 columns masked to -1e30.
+Tie rules are identical to ops/matcher.match (first-index argmax ties,
+second-best excludes only the argmax column, invalid set-2 columns
+masked to -1e30), but scores agree only up to bf16x3 accumulation
+order (~1e-5), so the argmax index/valid bits can differ from the XLA
+path on near-equal scores — do not rely on bitwise equality between
+the two matchers.
 """
 
 from __future__ import annotations

@@ -119,8 +119,10 @@ def load_pipeline(path: str, pipe: SlamPipeline) -> SlamPipeline:
     if header["version"] > _FORMAT_VERSION:
         raise ValueError(f"checkpoint version {header['version']} "
                          f"> {_FORMAT_VERSION}")
-    if header["version"] < _FORMAT_VERSION and (
-            pipe.window_ba or pipe.loop_detect):
+    # Version 2 introduced the window_ba/loop_detect state; later versions
+    # only add optional fields with load-time fallbacks (e.g. v3's
+    # det_retained ring-cap bookkeeping), so any >= 2 checkpoint restores.
+    if header["version"] < 2 and (pipe.window_ba or pipe.loop_detect):
         raise ValueError(
             "version-1 checkpoint cannot restore window_ba/loop_detect "
             "state; re-save with the current format or resume a plain-VO "

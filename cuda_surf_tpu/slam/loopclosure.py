@@ -72,6 +72,8 @@ class LoopDetector:
                  prescreen_topk: int | None = 3,
                  prescreen_min_sim: float = 0.5,
                  max_store: int | None = None):
+        if max_store is not None and max_store < 1:
+            raise ValueError(f"max_store must be >= 1, got {max_store}")
         self.intr = intr
         self.min_gap = min_gap
         self.min_inliers = min_inliers
@@ -121,6 +123,10 @@ class LoopDetector:
     def query(self, j: int | None = None) -> List[LoopClosure]:
         if j is None:
             j = len(self._frames) - 1
+        if self._frames[j] is None:
+            raise ValueError(
+                f"frame {j} was evicted by the max_store={self.max_store} "
+                "ring cap; query frames before they age out")
         kpj, dj = self._frames[j]
         out = []
         for i in self._candidates(j):
