@@ -58,15 +58,22 @@ def desc_params(cfg, ii, kps):
 
 
 def time_fn(fn, args, iters):
+    """Min of 3 interleaved round averages: the tunnel injects multi-ms
+    spikes into whole loops, so a single average is untrustworthy
+    (PERF.md protocol notes)."""
     out = fn(*args)
     jax.block_until_ready(out)
-    out = fn(*args)
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    best = float("inf")
+    n = max(iters // 3, 5)
+    for _ in range(3):
         out = fn(*args)
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-    return (time.perf_counter() - t0) / iters * 1e3
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        best = min(best, (time.perf_counter() - t0) / n * 1e3)
+    return best
 
 
 def main():
@@ -91,7 +98,10 @@ def main():
     vnp = np.asarray(valid)
     dev = jax.devices()[0].device_kind
 
-    # per-level eligibility exactly as descriptor_rows routes
+    # per-level eligibility exactly as descriptor_rows routes; on the
+    # resident-planes path one merged level takes the union
+    res_elig = (vnp & (span <= pw._RES_TILE[4])
+                & (np.asarray(iscale) <= pw._RES_TILE[5]))
     remaining = vnp.copy()
     eligs = []
     for (_, _, _, _, span_cap, s_cap) in pw._LEVELS:
@@ -131,8 +141,14 @@ def main():
             rem = rem & ~taken
         return rows, rem
 
+    def f_res(ii, ix, iy, step, iscale, irad, e, fparams):
+        return pw._run_supertile_res(ii, ix, iy, step, iscale, irad, e,
+                                     fparams, R=R, cfg_s=cfg_s)
+
     base = (ii, ix, iy, step, iscale, irad)
-    rows = [("desc_full", jax.jit(f_full), base + (valid, fparams))]
+    rows = [("desc_full", jax.jit(f_full), base + (valid, fparams)),
+            ("desc_supertile_res", jax.jit(f_res),
+             base + (jnp.asarray(res_elig), fparams))]
     for lv, e in enumerate(eligs):
         rows.append((f"desc_supertile_l{lv}", jax.jit(make_tile(lv)),
                      base + (jnp.asarray(e), fparams)))
@@ -153,6 +169,7 @@ def main():
                               for SD in DEC_PROBE_STEPS).sum())
     counts["desc_bucketed_all"] = int(remaining.sum())
     counts["desc_full"] = int(vnp.sum())
+    counts["desc_supertile_res"] = int(res_elig.sum())
     counts["desc_bucketed_tail"] = int(tail.sum())
     for name, fn, a in rows:
         ms = time_fn(fn, a, args.iters)

@@ -183,14 +183,19 @@ def _dot_limbs(xi, w, limbs, left=False):
     return acc
 
 
-def _col_weights(cc, scalars, *, R, CC):
+def _col_weights(cc, scalars, *, R, CC, masked=True):
     """(CC, 128) dy and dx column-combination weights for the static
-    column chunk starting at cc."""
+    column chunk starting at cc.
+
+    `masked=False` (descriptor mode) skips the out-of-radius /
+    padding-column zeroing: those sample lanes carry garbage values but
+    the binning's own ColW/ok masks multiply them by zero, so the
+    weight build saves ~1/4 of its VPU ops.  Grids mode must keep the
+    mask — its output contract returns 0 for masked samples."""
     iyl, ixl, step, s, irad = scalars
     R2 = 2 * R + 1
     ec = cc + lax.broadcasted_iota(jnp.int32, (CC, 128), 0)
     jc = lax.broadcasted_iota(jnp.int32, (CC, 128), 1)
-    ok_c = (jnp.abs(jc - R) <= irad) & (jc < R2)
     bc = ixl + (jc - R) * step
 
     def eqc(t):
@@ -198,14 +203,26 @@ def _col_weights(cc, scalars, *, R, CC):
 
     c_dy = eqc(bc + s + 1) - eqc(bc - s)
     c_dx = eqc(bc + s + 1) + eqc(bc - s) - eqc(bc) - eqc(bc + 1)
+    if not masked:
+        return c_dy, c_dx
+    ok_c = (jnp.abs(jc - R) <= irad) & (jc < R2)
     zero = jnp.int32(0)
     return (jnp.where(ok_c, c_dy, zero),
             jnp.where(ok_c, c_dx, zero))
 
 
-def _row_weights(cb, scalars, *, R, RH, RC):
+def _col_weights_cat(scalars, *, R, WC, masked=False):
+    """(WC, 256) merged [cdy | cdx] column weights (lanes [0, 128) dy,
+    [128, 256) dx) for the single merged stage-B dot."""
+    cdy, cdx = _col_weights(0, scalars, R=R, CC=WC, masked=masked)
+    return jnp.concatenate([cdy, cdx], axis=1)
+
+
+def _row_weights(cb, scalars, *, R, RH, RC, masked=True):
     """(2*RH, RC) row-combination weights for the static row band at cb:
-    rows [0,R2) dy combos, rows [RH,RH+R2) dx combos."""
+    rows [0,R2) dy combos, rows [RH,RH+R2) dx combos.
+
+    `masked=False`: see _col_weights — descriptor mode only."""
     iyl, ixl, step, s, irad = scalars
     R2 = 2 * R + 1
     RW = 2 * RH
@@ -213,7 +230,6 @@ def _row_weights(cb, scalars, *, R, RH, RC):
     e = cb + lax.broadcasted_iota(jnp.int32, (RW, RC), 1)
     is_dy = ri < RH
     g = jnp.where(is_dy, ri, ri - RH)
-    ok_r = (jnp.abs(g - R) <= irad) & (g < R2)
     br = iyl + (g - R) * step
 
     def eq(t):
@@ -221,7 +237,11 @@ def _row_weights(cb, scalars, *, R, RH, RC):
 
     w_dy = eq(br) + eq(br + 1) - eq(br - s) - eq(br + s + 1)
     w_dx = eq(br + s + 1) - eq(br - s)
-    return jnp.where(ok_r, jnp.where(is_dy, w_dy, w_dx), 0)
+    w = jnp.where(is_dy, w_dy, w_dx)
+    if not masked:
+        return w
+    ok_r = (jnp.abs(g - R) <= irad) & (g < R2)
+    return jnp.where(ok_r, w, 0)
 
 
 def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
@@ -287,19 +307,49 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
 
     if upright:
         # rx depends on the sample row only and cx on the sample column
-        # only, so the bilinear binning factorizes into two MXU
-        # contractions producing the (a*wsz+b)*osz+o descriptor layout
-        # directly (lane l decodes to a_l, b_l, o_l).
-        lane = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        a_l = lane // (wsz * osz)
-        b_l = (lane // osz) % wsz
-        o_l = lane % osz
-        in_l = lane < wsz * wsz * osz
+        # only, so with lane l decoding to (a, b, o) the bilinear weights
+        # factor as wao[r, l] = RowW[(a,o), r] (independent of b) and
+        # wbo[j, l] = ColW[j, b] (independent of a, o).  The descriptor
+        # therefore contracts as two TINY chained matmuls
+        #     D[(a,o), b] = RowW (RA, osz*RH) @ vcat (osz*RH, 128)
+        #                   @ ColW (128, wsz)
+        # instead of the dense 128-lane outer-product form (~20x fewer
+        # MACs, and the weight builds shrink from (osz*RH, 128) /
+        # (128, 128) grids to (RA, osz*RH) / (128, wsz) tiles), followed
+        # by a static rearrangement of the (RA, wsz) result into the
+        # (a*wsz+b)*osz+o lane layout.
+        RA = wsz * osz               # rows (a, o) = a*osz + o
+        RAp = max(_round_up(RA, 8), 8)
+        WSP = 8                      # wsz lanes padded up
 
-        # Wbo (128_j, 128_l): column bin weight of sample column j for
-        # lane l's b-bin, masked by the column-separable part of `ok`.
-        jgrid = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        fj_c = jgrid - R
+        def d32(a, b):
+            return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=lax.Precision.HIGHEST)
+
+        # RowW (RAp, osz*RH): column e = (o', fi); row r = (a, o).
+        e_fi = lax.broadcasted_iota(jnp.int32, (RAp, osz * RH), 1) % RH
+        e_o = lax.broadcasted_iota(jnp.int32, (RAp, osz * RH), 1) // RH
+        r_i = lax.broadcasted_iota(jnp.int32, (RAp, osz * RH), 0)
+        r_a = r_i // osz
+        r_o = r_i - r_a * osz
+        fi_r = e_fi - R
+        rx_r = (stepf * cose * fi_r.astype(jnp.float32) - fracr) \
+            / spacing + wofs
+        rr_ = iy + fi_r * step
+        ok_r = ((jnp.abs(fi_r) <= irad) & (e_fi < R2)
+                & (rx_r > -1) & (rx_r < wsz)
+                & (rr_ >= 1 + s) & (rr_ < ih - 1 - s))
+        ri_r = jnp.floor(rx_r).astype(jnp.int32)
+        rf_r = rx_r - ri_r.astype(jnp.float32)
+        roww = jnp.where(ok_r & (e_o == r_o) & (r_i < RA),
+                         bin_w(ri_r, rf_r, r_a), zero)
+
+        # ColW built with j on LANES — the natural axis for the per-
+        # column profile math (1 vreg per op instead of the 16 a
+        # (128, WSP) layout costs) — and contracted transposed.
+        fj_c = lax.broadcasted_iota(jnp.int32, (WSP, 128), 1) - R
+        b_r = lax.broadcasted_iota(jnp.int32, (WSP, 128), 0)
         cx_c = (stepf * cose * fj_c.astype(jnp.float32) - fracc) \
             / spacing + wofs
         cc_ = ix + fj_c * step
@@ -308,42 +358,28 @@ def _bin_descriptor(dyv, dxv, iscalars, fscalars, *, R, RH, cfg_s):
                 & (cc_ >= 1 + s) & (cc_ < iw - 1 - s))
         ci_c = jnp.floor(cx_c).astype(jnp.int32)
         cf_c = cx_c - ci_c.astype(jnp.float32)
-        wbo = jnp.where(ok_c & in_l, bin_w(ci_c, cf_c, b_l), zero)
+        colwT = jnp.where(ok_c & (b_r < wsz),
+                          bin_w(ci_c, cf_c, b_r), zero)   # (WSP, 128)
 
-        # Vcat (osz*RH, 128): the o-th RH-row block is V_o = ov_o with
-        # the row-separable `ok` part folded in.
-        igrid = lax.broadcasted_iota(jnp.int32, (osz * RH, 128), 0)
-        o_r = igrid // RH
-        fi_r = (igrid % RH) - R
-        rx_r = (stepf * cose * fi_r.astype(jnp.float32) - fracr) \
-            / spacing + wofs
-        rr_ = iy + fi_r * step
-        ok_r = ((jnp.abs(fi_r) <= irad) & (fi_r + R < R2)
-                & (rx_r > -1) & (rx_r < wsz)
-                & (rr_ >= 1 + s) & (rr_ < ih - 1 - s))
-        vcat = jnp.concatenate(ov, axis=0)
+        vcat = jnp.concatenate(ov, axis=0)         # (osz*RH, 128)
+        D = lax.dot_general(d32(roww, vcat), colwT,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)  # (RAp, WSP)
 
-        # ~f32-accurate product in 3 bf16 MXU passes (vs 6 for HIGHEST):
-        # split both operands into bf16 hi + residual, drop the lo*lo
-        # term (relative error ~2^-16 on these O(1) weights)
-        def d(a, b):
-            return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-        vh = vcat.astype(jnp.bfloat16)
-        vl = (vcat - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-        wh = wbo.astype(jnp.bfloat16)
-        wl = (wbo - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        P = d(vh, wh) + d(vh, wl) + d(vl, wh)
-        # Wao (osz*RH, 128): row bin weight for lane l's a-bin, gated on
-        # the block's o matching lane l's o-bin.
-        ri_r = jnp.floor(rx_r).astype(jnp.int32)
-        rf_r = rx_r - ri_r.astype(jnp.float32)
-        a_lr = ((lax.broadcasted_iota(jnp.int32, (osz * RH, 128), 1))
-                // (wsz * osz))
-        o_lr = lax.broadcasted_iota(jnp.int32, (osz * RH, 128), 1) % osz
-        wao = jnp.where(ok_r & (o_r == o_lr), bin_w(ri_r, rf_r, a_lr), zero)
-        return jnp.sum(wao * P, axis=0)
+        # rearrange D[(a,o), b] -> lane (a*wsz+b)*osz+o: widen b to the
+        # lane layout with a static one-hot, then row-select (a, o).
+        lane = lax.broadcasted_iota(jnp.int32, (WSP, 128), 1)
+        nfeat = wsz * wsz * osz
+        eb = jnp.where((lax.broadcasted_iota(jnp.int32, (WSP, 128), 0)
+                        == (lane // osz) % wsz) & (lane < nfeat),
+                       jnp.float32(1.0), zero)
+        D3 = d32(D, eb)                            # (RAp, 128)
+        lane_r = lax.broadcasted_iota(jnp.int32, (RAp, 128), 1)
+        row_r = lax.broadcasted_iota(jnp.int32, (RAp, 128), 0)
+        ea = (row_r == (lane_r // (wsz * osz)) * osz + lane_r % osz) \
+            & (row_r < RA) & (lane_r < nfeat)
+        return jnp.sum(jnp.where(ea, D3, zero), axis=0)
 
     # rotated: rx/cx depend on both sample axes; masked reductions per
     # (a, b) bin pair, accumulated into static one-hot lanes.  Keep the
@@ -449,8 +485,8 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
             # matmul per limb against the keypoint's (E_r, E_c) window
             r0 = pl.multiple_of(meta_ref[0, k], 32)
             c0 = pl.multiple_of(meta_ref[1, k], 128)
-            Rw = _row_weights(0, iscalars, R=R, RH=RH,
-                              RC=E_r).astype(jnp.int8)
+            Rw = _row_weights(0, iscalars, R=R, RH=RH, RC=E_r,
+                              masked=mode == "grids").astype(jnp.int8)
             for li in range(m1_limbs):
                 sl = patch[li, pl.ds(r0, E_r), pl.ds(c0, E_c)]
                 dd = lax.dot_general(Rw, sl, (((1,), (0,)), ((), ())),
@@ -481,7 +517,8 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
                             dma(k + 1, 0, nxt).start()
                     dma(k, b, slot).wait()
                     band = patch[slot]
-                Rw = _row_weights(b * RC, iscalars, R=R, RH=RH, RC=RC)
+                Rw = _row_weights(b * RC, iscalars, R=R, RH=RH, RC=RC,
+                                  masked=mode == "grids")
                 for ci in range(E_cp // CC):
                     cc = ci * CC
                     pc = band[:, cc:cc + CC]
@@ -498,7 +535,8 @@ def _kernel(count_ref, meta_ref, fpar_ref, ii_ref, out_ref, patch,
         G = jnp.zeros((RW, 128), jnp.int32)
         for ci in range(E_cp // CC):
             cc = ci * CC
-            cdy, cdx = _col_weights(cc, iscalars, R=R, CC=CC)
+            cdy, cdx = _col_weights(cc, iscalars, R=R, CC=CC,
+                                    masked=mode == "grids")
             A = acc[:, cc:cc + CC]
             g_dy = _dot_limbs(A[:RH], cdy, m2_limbs)
             g_dx = _dot_limbs(A[RH:], cdx, m2_limbs)
@@ -796,6 +834,64 @@ _TILE_GROUP = 8         # keypoints per stacked stage-A matmul
 _ABLATE = os.environ.get("SURF_DESC_ABLATE", "")
 
 
+def _emit_group_kp(meta_ref, fpar_ref, acc, out_ref, j, k, r0_t, c0_t, *,
+                   R, RH, WC, m2, cfg_s, ablate=None):
+    """Per-keypoint emit shared by the tile kernels: stage B (column
+    combination from a dynamic (2RH, WC) window of the group
+    accumulator, re-anchored so `m2` limbs stay exact) + descriptor
+    binning.  `j` is the keypoint's slot within the group, `k` its row
+    in meta/out."""
+    RW = 2 * RH
+    if ablate is None:
+        ablate = _ABLATE
+    cs = pl.multiple_of(meta_ref[1, k], 128)
+    ixl_w = meta_ref[3, k] - cs
+    isc = (meta_ref[2, k], ixl_w, meta_ref[4, k], meta_ref[5, k],
+           meta_ref[6, k])
+    Aw = acc[pl.ds(j * RW, RW), pl.ds(cs, WC)]
+    if ablate == "nostageb":
+        out_ref[k] = Aw[:1, :128].astype(jnp.float32)[0]
+        return
+    Aw = Aw - Aw[:, 0:1]
+    # ONE merged stage-B dot instead of 2 stencils x m2 limbs: balanced
+    # digits of Aw stacked along M, [cdy | cdx] along N; limb blocks
+    # recombine by shifts after the dot.  Same MXU tile passes, 1/6 the
+    # issue count.
+    digs = []
+    t = Aw
+    for li in range(m2):
+        if li == m2 - 1:
+            d = t
+        else:
+            d = ((t & 255) ^ 128) - 128
+            t = (t - d) >> 8
+        digs.append(d.astype(jnp.int8))
+    dstk = jnp.concatenate(digs, axis=0)              # (m2*RW, WC)
+    if ablate == "nocolw":   # timing probe: skip the weight build
+        cw = (lax.broadcasted_iota(jnp.int32, (WC, 256), 0)
+              == lax.broadcasted_iota(jnp.int32, (WC, 256), 1)
+              ).astype(jnp.int8)
+    else:
+        cw = _col_weights_cat(isc, R=R, WC=WC).astype(jnp.int8)
+    g = lax.dot_general(dstk, cw, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    G = g[:RW]
+    for li in range(1, m2):
+        G = G + (g[li * RW:(li + 1) * RW] << (8 * li))
+    dyv = G[:RH, 0:128].astype(jnp.float32)
+    dxv = G[RH:, 128:256].astype(jnp.float32)
+    if ablate == "nobin":
+        out_ref[k] = dyv[0] + dxv[0]
+        return
+    gscalars = (r0_t + meta_ref[2, k] - meta_ref[7, k],
+                c0_t + meta_ref[3, k],
+                meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
+    fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
+                fpar_ref[3, k], fpar_ref[4, k])
+    out_ref[k] = _bin_descriptor(
+        dyv, dxv, gscalars, fscalars, R=R, RH=RH, cfg_s=cfg_s)
+
+
 def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
                   patch, rel_limb, rw, acc, sem, *, R, RH, T, TX, h_pad,
                   w_pad, cfg_s, TE_R, TE_C, WC, TI_R, TI_C, rel_bound):
@@ -882,7 +978,8 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
             # rows outside the tile get zero weight, and their samples
             # are masked by the binning's image-border conditions
             rw[pl.ds(j * RW, RW)] = _row_weights(
-                0, iscal(g0 + j), R=R, RH=RH, RC=TE_R).astype(jnp.int8)
+                0, iscal(g0 + j), R=R, RH=RH, RC=TE_R,
+                masked=False).astype(jnp.int8)
             return c
 
         lax.fori_loop(0, n_in, build, 0)
@@ -902,29 +999,9 @@ def _kernel_tiles(cnt_ref, start_ref, meta_ref, fpar_ref, ii_ref, out_ref,
         # at several minutes of extra Mosaic compile time — the
         # per-keypoint chain cost is not fori_loop serialization.
         def emit(j, c):
-            k = g0 + j
-            cs = pl.multiple_of(meta_ref[1, k], 128)
-            ixl_w = meta_ref[3, k] - cs
-            isc = (meta_ref[2, k], ixl_w, meta_ref[4, k], meta_ref[5, k],
-                   meta_ref[6, k])
-            Aw = acc[pl.ds(j * RW, RW), pl.ds(cs, WC)]
-            if _ABLATE == "nostageb":
-                out_ref[k] = Aw[:1, :128].astype(jnp.float32)[0]
-                return c
-            Aw = Aw - Aw[:, 0:1]
-            cdy, cdx = _col_weights(0, isc, R=R, CC=WC)
-            dyv = _dot_limbs(Aw[:RH], cdy, m2).astype(jnp.float32)
-            dxv = _dot_limbs(Aw[RH:], cdx, m2).astype(jnp.float32)
-            if _ABLATE == "nobin":
-                out_ref[k] = dyv[:1, :128][0] + dxv[:1, :128][0]
-                return c
-            gscalars = (r0_t + meta_ref[2, k] - meta_ref[7, k],
-                        c0_t + meta_ref[3, k],
-                        meta_ref[4, k], meta_ref[5, k], meta_ref[6, k])
-            fscalars = (fpar_ref[0, k], fpar_ref[1, k], fpar_ref[2, k],
-                        fpar_ref[3, k], fpar_ref[4, k])
-            out_ref[k] = _bin_descriptor(
-                dyv, dxv, gscalars, fscalars, R=R, RH=RH, cfg_s=cfg_s)
+            _emit_group_kp(meta_ref, fpar_ref, acc, out_ref, j, g0 + j,
+                           r0_t, c0_t, R=R, RH=RH, WC=WC, m2=m2,
+                           cfg_s=cfg_s)
             return c
 
         lax.fori_loop(0, n_in, emit, 0)
@@ -1034,6 +1111,174 @@ def _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     return jnp.take(out, dest, axis=0)
 
 
+# --- resident-planes supertile (single-frame fast path) -------------------
+#
+# For a single frame whose int8 limb planes fit VMEM (1280x960 needs
+# 4 x 1.2 MB), the tile machinery above simplifies radically: the
+# whole image's balanced base-256 digit planes are XLA-precomputed
+# ONCE, copied into VMEM at grid step 0, and every tile's stage A
+# contracts the stacked group row weights directly against a dynamic
+# (TE_R, TE_C) window of the resident planes — no per-tile DMA, no
+# in-kernel rel anchoring or limb extraction (any per-row/per-column
+# additive offset cancels through the zero-sum stencils, so the
+# UN-anchored image limbs are contracted as-is; m1 is sized by the
+# whole-image value bound, typically 4 limbs vs the tile path's 3).
+# Freed from the tile-anchored 3-limb stage-A budget, ONE level with
+# 64-pixel margins covers span <= 63 — the union of the two DMA-path
+# levels — so the whole supertile population runs in a single
+# pallas_call with a single routing prologue.
+#
+#            TE_R  TE_C   WC   MR/MC  span_cap  s_cap
+_RES_TILE = (256,  256,   256, 64,    63,       62)
+
+
+def _kernel_tiles_res(cnt_ref, start_ref, meta_ref, fpar_ref, limbs_hbm,
+                      out_ref, planes, rw, acc, sem, *, R, RH, T, TX,
+                      h_pad, w_pad, cfg_s, TE_R, TE_C, WC, TI_R, TI_C,
+                      m1, ablate=None):
+    """Grid step = one tile window of the VMEM-resident limb planes."""
+    t = pl.program_id(0)
+    RW = 2 * RH
+    G = _TILE_GROUP
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cp = pltpu.make_async_copy(limbs_hbm, planes, sem.at[0])
+        cp.start()
+        cp.wait()
+
+    ty = t // TX
+    tx = lax.rem(t, TX)
+    r0_t = pl.multiple_of(jnp.minimum(ty * TI_R, h_pad - TE_R), 32)
+    c0_t = pl.multiple_of(jnp.minimum(tx * TI_C, w_pad - TE_C), 128)
+    n_t = cnt_ref[t]
+    s_t = start_ref[t]
+
+    def iscal(k):
+        return (meta_ref[2, k], meta_ref[3, k], meta_ref[4, k],
+                meta_ref[5, k], meta_ref[6, k])
+
+    def group_body(gi, carry):
+        g0 = s_t + gi * G
+        n_in = jnp.minimum(n_t - gi * G, G)
+
+        def build(j, c):
+            rw[pl.ds(j * RW, RW)] = _row_weights(
+                0, iscal(g0 + j), R=R, RH=RH, RC=TE_R,
+                masked=False).astype(jnp.int8)
+            return c
+
+        if (ablate or _ABLATE) != "norw":  # probe: skip the rw build
+            lax.fori_loop(0, n_in, build, 0)
+
+        w = rw[...]
+        nlimb = 1 if (ablate or _ABLATE) == "stagea1" else m1
+        for li in range(nlimb):   # "stagea1": timing probe, 1 limb only
+            sl = planes[li, pl.ds(r0_t, TE_R), pl.ds(c0_t, TE_C)]
+            dd = lax.dot_general(w, sl, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            if li == 0:
+                acc[...] = dd
+            else:
+                acc[...] = acc[...] + (dd << (8 * li))
+
+        def emit(j, c):
+            _emit_group_kp(meta_ref, fpar_ref, acc, out_ref, j, g0 + j,
+                           r0_t, c0_t, R=R, RH=RH, WC=WC, m2=3,
+                           cfg_s=cfg_s, ablate=ablate)
+            return c
+
+        lax.fori_loop(0, n_in, emit, 0)
+        return carry
+
+    lax.fori_loop(0, (n_t + G - 1) // G, group_body, 0)
+
+
+def _run_supertile_res(ii, ix, iy, step, iscale, irad, elig, fparams, *,
+                       R, cfg_s, interpret=False, ablate=None):
+    """Descriptor rows for `elig` keypoints via the resident-planes
+    single-level supertile (others zero).  Caller guarantees the limb
+    planes fit the VMEM budget (see descriptor_rows)."""
+    TE_R, TE_C, WC, MR, _, _ = _RES_TILE
+    MC = MR
+    TI_R, TI_C = TE_R - 2 * MR, TE_C - 2 * MC
+    K = ix.shape[0]
+    RH = _round_up(2 * R + 1, 8)
+    h, w = ii.shape
+    h_pad = max(_round_up(h, 32), TE_R)
+    w_pad = max(_round_up(w, 128), TE_C)
+    ii_pad = jnp.pad(ii, ((0, h_pad - h), (0, w_pad - w)))
+    m1 = _limbs_for(255 * h * w)
+    limbs8 = _image_limbs(ii_pad, m1)
+    TY = max(1, -(-(h_pad - 2 * MR) // TI_R))
+    TX = max(1, -(-(w_pad - 2 * MC) // TI_C))
+    T = TY * TX
+
+    ty = jnp.clip((iy - MR) // TI_R, 0, TY - 1)
+    tx = jnp.clip((ix - MC) // TI_C, 0, TX - 1)
+    tid = ty * TX + tx
+
+    onehot = ((tid[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :])
+              & elig[:, None]).astype(jnp.int32)
+    C = jnp.cumsum(onehot, axis=0)                      # (K, T)
+    cnts = C[-1]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(cnts)[:-1]])
+    rank = jnp.sum(onehot * C, axis=1) - 1
+    start_k = jnp.sum(onehot * starts[None, :], axis=1)
+    total = jnp.sum(cnts)
+    m = ~elig
+    dest = jnp.where(elig, start_k + rank,
+                     total + jnp.cumsum(m.astype(jnp.int32)) - 1)
+    sel = jnp.zeros((K,), jnp.int32).at[dest].set(
+        jnp.arange(K, dtype=jnp.int32))
+
+    r0 = jnp.minimum(ty * TI_R, h_pad - TE_R)
+    c0 = jnp.minimum(tx * TI_C, w_pad - TE_C)
+    iyl_t = iy - r0
+    ixl_t = ix - c0
+    meta = jnp.stack([jnp.zeros((K,), jnp.int32),
+                      jnp.zeros((K,), jnp.int32),    # cs = 0: WC == TE_C
+                      iyl_t, ixl_t, step, iscale, irad,
+                      jnp.zeros((K,), jnp.int32)], axis=0)
+    meta = jnp.take(meta, sel, axis=1)
+    fpar = jnp.take(fparams, sel, axis=1)
+
+    K_pad = _round_up(K, 8)
+    RW = 2 * RH
+    G = _TILE_GROUP
+    kernel = functools.partial(_kernel_tiles_res, R=R, RH=RH, T=T, TX=TX,
+                               h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s,
+                               TE_R=TE_R, TE_C=TE_C, WC=WC, TI_R=TI_R,
+                               TI_C=TI_C, m1=m1, ablate=ablate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((K_pad, 128), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m1, h_pad, w_pad), jnp.int8),     # limb planes
+            pltpu.VMEM((G * RW, TE_R), jnp.int8),         # stacked Rw
+            pltpu.VMEM((G * RW, TE_C), jnp.int32),        # group A
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K_pad, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(m1 * h_pad * w_pad
+                                 + G * RW * (TE_R + 4 * TE_C)
+                                 + K_pad * 512 + 6 * 2 ** 20,
+                                 15 * 2 ** 20)),
+        interpret=interpret,
+    )(cnts, starts, meta, fpar, limbs8)
+    return jnp.take(out, dest, axis=0)
+
+
 # --- step-decimated fallback (descriptors for large-step keypoints) -------
 #
 # The span-bucketed fallback's cost is stage-A dominated (ablation:
@@ -1134,7 +1379,8 @@ def _kernel_sdec(count_ref, meta_ref, fpar_ref, planes_hbm, out_ref,
         a_dy = A[:RH_b] - A[:RH_b, 0:1]
         a_dx = A[RH_b:] - A[RH_b:, 0:1]
         isc = (iy, ix - c0, jnp.int32(SD), s, irad)
-        cdy, cdx = _col_weights(0, isc, R=R_b, CC=E_cw)
+        cdy, cdx = _col_weights(0, isc, R=R_b, CC=E_cw,
+                                masked=False)
         dyv = _dot_limbs(a_dy, cdy, m2).astype(jnp.float32)
         dxv = _dot_limbs(a_dx, cdx, m2).astype(jnp.float32)
         gscalars = (iy, ix, jnp.int32(SD), s, irad)
@@ -1280,16 +1526,32 @@ def descriptor_rows(ii, ix, iy, step, iscale, irad, valid, fparams, *,
     remaining = valid
     rows = None
     covered = 0
-    for lv, (_, _, _, _, span_cap, s_cap) in enumerate(_LEVELS):
+    h_im, w_im = ii.shape
+    use_res = (row_base is None
+               and (_limbs_for(255 * h_im * w_im)
+                    * max(_round_up(h_im, 32), _RES_TILE[0])
+                    * max(_round_up(w_im, 128), _RES_TILE[1])
+                    <= _RESIDENT_BYTES))
+    if use_res:
+        span_cap, s_cap = _RES_TILE[4], _RES_TILE[5]
         elig = remaining & (span <= span_cap) & (iscale <= s_cap)
-        r = _run_supertile(ii, ix, iy, step, iscale, irad, elig, fparams,
-                           R=R, cfg_s=cfg_s, level=lv, interpret=interpret,
-                           row_base=row_base, frame_rows=frame_rows)
-        rows = r if rows is None else rows + r
+        rows = _run_supertile_res(ii, ix, iy, step, iscale, irad, elig,
+                                  fparams, R=R, cfg_s=cfg_s,
+                                  interpret=interpret)
         remaining = remaining & ~elig
         covered = span_cap
-        if max_span <= span_cap:
-            break
+    else:
+        for lv, (_, _, _, _, span_cap, s_cap) in enumerate(_LEVELS):
+            elig = remaining & (span <= span_cap) & (iscale <= s_cap)
+            r = _run_supertile(ii, ix, iy, step, iscale, irad, elig,
+                               fparams, R=R, cfg_s=cfg_s, level=lv,
+                               interpret=interpret, row_base=row_base,
+                               frame_rows=frame_rows)
+            rows = r if rows is None else rows + r
+            remaining = remaining & ~elig
+            covered = span_cap
+            if max_span <= span_cap:
+                break
     if max_span > covered:
         # every keypoint the levels could not take has span > covered
         # (a level's s_cap cannot exclude span <= span_cap keypoints:
