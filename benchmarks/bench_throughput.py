@@ -13,9 +13,10 @@ Two batch modes:
   map    — one jitted program runs B frames through lax.map (each frame
            executes the exact single-frame pipeline; Pallas kernels per
            frame).  Measures dispatch amortization only.
-  fused  — detect_and_compute_batch: dense stages vmapped across
-           frames, keypoint stages run on all B frames' keypoints in
-           single Pallas calls over a frame-stacked integral image.
+  fused  — detect_and_compute_batch: dense stages batched, keypoint
+           stages (compaction + walk + makePoint) FRAME-STACKED into
+           one union pass, descriptors in single Pallas calls over a
+           frame-stacked integral image (round 5).
 
     python benchmarks/bench_throughput.py [--iters 30] [--bs 1,2,4,8]
 
@@ -53,13 +54,17 @@ def make_batch(B):
 def time_loop(fn, x, iters):
     out = fn(x)
     jax.block_until_ready(out)
-    out = fn(x)
-    _ = float(jnp.sum(out[1]))  # forced readback (verify-skill protocol)
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    best = float("inf")
+    n = max(iters // 3, 4)
+    for _ in range(3):   # min-of-interleaved-rounds: tunnel spikes
         out = fn(x)
-    _ = float(jnp.sum(out[1]))
-    return (time.perf_counter() - t0) / iters
+        _ = float(jnp.sum(out[1]))  # forced readback (verify protocol)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(x)
+        _ = float(jnp.sum(out[1]))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main():

@@ -41,12 +41,29 @@ def _detect_frame(image: jnp.ndarray, cfg: SurfConfig):
     return ii, pyr, cand_masks, sched
 
 
-def _make_keypoints(ii, cand, cfg: SurfConfig):
+def _make_keypoints(ii, cand, cfg: SurfConfig, nframes: int = 1,
+                    slab: int = 0, frame_hw=None):
     """Compaction + makePoint (surfd.cu:1001-1022): scale octave-space
-    coords to image space, Laplacian sign on the integral image."""
-    count, valid, nx, ny, ns, strength, octave = compact(
-        cand["valid"], cfg.max_pts, cand["nx"], cand["ny"], cand["ns"],
-        cand["strength"], cand["octave"])
+    coords to image space, Laplacian sign on the integral image.
+
+    `nframes=B`: frame-stacked mode — cand holds the union of B
+    frames' candidates (with `frame` ids), `ii` stacks the B integral
+    images vertically at `slab`-row offsets, and ONE compaction /
+    Laplacian take serves all frames (returns an extra frame-id
+    array).  Laplacian corner clamps run frame-locally on `frame_hw`.
+    NOTE: the union capacity is B*max_pts; a frame with more than
+    max_pts valid keypoints truncates exactly like the single-frame
+    path, but its overflow can additionally displace later frames'
+    slots when the union total exceeds capacity."""
+    if nframes > 1:
+        count, valid, nx, ny, ns, strength, octave, fid = compact(
+            cand["valid"], cfg.max_pts * nframes, cand["nx"], cand["ny"],
+            cand["ns"], cand["strength"], cand["octave"], cand["frame"])
+    else:
+        count, valid, nx, ny, ns, strength, octave = compact(
+            cand["valid"], cfg.max_pts, cand["nx"], cand["ny"],
+            cand["ns"], cand["strength"], cand["octave"])
+        fid = None
 
     td = jnp.float32(cfg.sampling * cfg.divisor)
     x = nx * td
@@ -62,15 +79,21 @@ def _make_keypoints(ii, cand, cfg: SurfConfig):
     # box_sum() call per box costs 4 separate gather kernels on TPU, so
     # all corners gather in ONE flat take (bit-identical: per-axis index
     # clamping replicated, int32 adds reassociate exactly).
-    ih_i, iw_i = ii.shape
+    if nframes > 1:
+        ih_i, iw_i = frame_hw
+        rb = fid * slab
+    else:
+        ih_i, iw_i = ii.shape
+        rb = 0
     iif = ii.reshape(-1)
 
     def corner(xx, yy):
         # replicate jnp advanced-indexing semantics exactly: negative
-        # indices wrap once, then clamp to the valid range
+        # indices wrap once, then clamp to the valid range (frame-local
+        # in stacked mode, then offset to the frame's slab)
         xx = jnp.clip(jnp.where(xx < 0, xx + iw_i, xx), 0, iw_i - 1)
         yy = jnp.clip(jnp.where(yy < 0, yy + ih_i, yy), 0, ih_i - 1)
-        return yy * iw_i + xx
+        return (rb + yy) * iw_i + xx
 
     def box_corners(x1, y1, x2_, y2_):
         # getSum corners (surfd.cu:334-343): +(y1+1,x1+1) +(y2,x2)
@@ -87,6 +110,8 @@ def _make_keypoints(ii, cand, cfg: SurfConfig):
     lxx = b[0] - 3 * b[1]
     lyy = b[2] - 3 * b[3]
     laplace = jnp.where(lxx + lyy > 0, 1, -1).astype(jnp.int32)
+    if nframes > 1:
+        return count, valid, x, y, scale, strength, laplace, octave, fid
     return count, valid, x, y, scale, strength, laplace, octave
 
 
@@ -156,16 +181,48 @@ def detect_and_compute_batch(images: jnp.ndarray, cfg: SurfConfig,
     noct = cfg.noctaves
     pyr_b = [jnp.stack([pyrs[f][o] for f in range(B)])
              for o in range(noct)]
+    mask_b = None
     if masks[0] is not None:
         mask_b = [jnp.stack([masks[f][o] for f in range(B)])
                   for o in range(noct)]
-        cand = jax.vmap(
-            lambda p, m: detect(p, sched, cfg, cand_masks=m))(pyr_b, mask_b)
-    else:
-        cand = jax.vmap(lambda p: detect(p, sched, cfg))(pyr_b)
 
-    count, valid, x, y, scale, strength, laplace, octave = jax.vmap(
-        lambda i2, c: _make_keypoints(i2, c, cfg))(ii, cand)
+    # FRAME-STACKED keypoint stages: the compaction, interpolation walk
+    # and makePoint/Laplacian run ONCE over the union of all B frames'
+    # candidates instead of per frame (vmapping them measured SLOWER,
+    # PERF.md round 4; stacking pays their dozens of fixed-overhead
+    # kernels once).  The union is frame-major and stable, so each
+    # frame's keypoints form a contiguous run redistributed to the
+    # (B, max_pts) layout by one gather.
+    cand = detect(pyr_b, sched, cfg, cand_masks=mask_b, nframes=B)
+    ih, iw = ii.shape[1], ii.shape[2]
+    hs = -(-ih // 32) * 32  # 32-aligned slab stride (resident row tile)
+    ii_stack_all = jnp.pad(
+        ii, ((0, 0), (0, hs - ih), (0, 0))).reshape(B * hs, iw)
+    (count_u, valid_u, x_u, y_u, scale_u, strength_u, laplace_u,
+     octave_u, fid) = _make_keypoints(ii_stack_all, cand, cfg,
+                                      nframes=B, slab=hs,
+                                      frame_hw=(ih, iw))
+
+    capU = B * cfg.max_pts
+    fr = jnp.arange(B, dtype=jnp.int32)
+    inframe = (fid[None, :] == fr[:, None]) & valid_u[None, :]
+    cnt_f = jnp.sum(inframe.astype(jnp.int32), axis=1)        # (B,)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(cnt_f)[:-1]])
+    jj = jnp.arange(cfg.max_pts, dtype=jnp.int32)
+    valid_o = jj[None, :] < cnt_f[:, None]                    # (B, max)
+    idxf = jnp.where(valid_o,
+                     jnp.minimum(starts[:, None] + jj[None, :], capU - 1),
+                     0).reshape(-1)
+
+    def redist(a):
+        v = jnp.take(a, idxf).reshape(B, cfg.max_pts)
+        return jnp.where(valid_o, v, jnp.zeros((), a.dtype))
+
+    x, y, scale, strength = (redist(x_u), redist(y_u), redist(scale_u),
+                             redist(strength_u))
+    laplace, octave = redist(laplace_u), redist(octave_u)
+    valid, count = valid_o, cnt_f
 
     kps = Keypoints(x=x, y=y, scale=scale, strength=strength,
                     laplace=laplace, ori=jnp.zeros_like(x), octave=octave,

@@ -32,6 +32,7 @@ has no global atomics, so detection is reformulated as:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -249,7 +250,7 @@ def _candidate_mask(resp: jnp.ndarray, osched: OctaveSchedule,
 
 
 def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
-           cand_masks=None):
+           cand_masks=None, nframes: int = 1):
     """All-octave detection: dense NMS -> global compaction -> batched
     interpolation walk.  Returns dict of (cap,) arrays:
     valid, nx, ny, ns, strength, octave (octave-local interpolated
@@ -257,26 +258,44 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
 
     `cand_masks` (per-octave (ms, oh, ow) bool) lets the fused
     detection kernel supply the NMS masks directly; otherwise they are
-    computed here with the XLA reduce_window formulation."""
+    computed here with the XLA reduce_window formulation.
+
+    `nframes=B` FRAME-STACKS the sparse stages: pyr entries (and
+    cand_masks) carry a leading (B, ...) frame axis, and ONE
+    compaction + ONE interpolation walk run over the union of all B
+    frames' candidates (cap scales to B*cap) — the per-frame
+    formulation pays its dozens of fixed-overhead gather/scan kernels
+    B times, the union pays them once (r4 measured *vmapping* these
+    stages slower; stacking is the cure, PERF.md round 5).  Buffers
+    are laid out frame-major so each frame's block reproduces the
+    single-frame layout; the returned dict gains `frame` ids."""
     noct = len(pyr)
     if cap is None:
         cap = cfg.max_candidates
+    cap = cap * nframes
 
     sparse_fit = getattr(cfg, "detect_fit", "dense") == "sparse"
+    B = nframes
     masks, stens, offs, shapes = [], [], [0], []
     for o in range(noct):
         resp = pyr[o]
         if cand_masks is not None:
-            masks.append(cand_masks[o].reshape(-1))
+            m = cand_masks[o]
+        elif nframes == 1:
+            m = _candidate_mask(resp, scheds[o], cfg)
         else:
-            masks.append(_candidate_mask(resp, scheds[o], cfg).reshape(-1))
+            m = jax.vmap(lambda r: _candidate_mask(r, scheds[o], cfg))(resp)
+        masks.append(m.reshape(B, -1))
         if not sparse_fit:
-            stens.append(fit_dense(resp).reshape(-1, 4))
-        offs.append(offs[-1] + resp.size)
-        shapes.append(resp.shape)
-    mask = jnp.concatenate(masks)
+            f = fit_dense(resp) if nframes == 1 else jax.vmap(fit_dense)(resp)
+            stens.append(f.reshape(B, -1, 4))
+        offs.append(offs[-1] + resp.size // B)
+        shapes.append(resp.shape[-3:])
+    # frame-major flat layout: [frame0: oct0..octN | frame1: ...]
+    mask = jnp.concatenate(masks, axis=1).reshape(-1)
     if sparse_fit:
-        resp_flat = jnp.concatenate([r.reshape(-1) for r in pyr])
+        resp_flat = jnp.concatenate(
+            [r.reshape(B, -1) for r in pyr], axis=1).reshape(-1)
         sten = None
     else:
         # ONE flat (4*T,) buffer [off_s | off_r | off_c | strength]:
@@ -284,16 +303,26 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
         # 1-D take (4 separate takes are 4 gather kernels per walk
         # step; row-gathers of a (T, 4) layout measured slower still)
         sten = jnp.concatenate(
-            [jnp.concatenate([s[:, k] for s in stens]) for k in range(4)])
-    total = offs[-1]
+            [jnp.concatenate([s[:, :, k] for s in stens],
+                             axis=1).reshape(-1) for k in range(4)])
+    total_f = offs[-1]          # per-frame element count
+    total = total_f * B
 
     lin0 = lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0]
     count, valid, lin = compact(mask, cap, lin0)
 
     # --- static per-candidate geometry decoded from the linear index ---
+    # (frame block first, then the single-frame octave decode on the
+    # frame-relative index; fit gathers keep the GLOBAL index)
+    if B > 1:
+        frame = lin // total_f
+        rel_lin = lin - frame * total_f
+    else:
+        frame = jnp.zeros((cap,), jnp.int32)
+        rel_lin = lin
     octv = jnp.zeros((cap,), jnp.int32)
     for o in range(1, noct):
-        octv += (lin >= offs[o]).astype(jnp.int32)
+        octv += (rel_lin >= offs[o]).astype(jnp.int32)
 
     def sel(table):
         v = jnp.full((cap,), table[0], jnp.int32)
@@ -304,7 +333,7 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
     oh_t = sel([sh[1] for sh in shapes])
     ow_t = sel([sh[2] for sh in shapes])
     off_t = sel(offs[:-1])
-    rel = lin - off_t
+    rel = rel_lin - off_t
     s_idx = rel // (oh_t * ow_t)
     rem = rel - s_idx * oh_t * ow_t
     r = rem // ow_t
@@ -402,7 +431,7 @@ def detect(pyr, scheds, cfg: SurfConfig, cap: int | None = None,
     ny = octave * (r_fit.astype(jnp.float32) + off[:, 1])
     nx = octave * (c_fit.astype(jnp.float32) + off[:, 2])
     return dict(valid=good, nx=nx, ny=ny, ns=ns, strength=strength,
-                octave=octv, count=count)
+                octave=octv, frame=frame, count=count)
 
 
 def detect_octave(resp: jnp.ndarray, osched: OctaveSchedule,

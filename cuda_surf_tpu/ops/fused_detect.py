@@ -230,9 +230,21 @@ def fused_octave(planes, plan, cfg: SurfConfig, interpret: bool = False,
     oh, ow, ms = plan["oh"], plan["ow"], plan["ms"]
     ow128 = _round_up(ow, 128)
     np_, hp, wq = planes.shape
+    # keep producer fusions (pad / dynamic-update-slice chains in the
+    # batched frontend) out of the kernel's scoped-vmem stack: at B=8
+    # XLA fused them into the custom-call operand and blew the scoped
+    # limit by ~170K
+    planes = lax.optimization_barrier(planes)
 
     full_bytes = ms * _round_up(oh, 8) * ow128 * 5
-    nbands = max(1, -(-full_bytes // max_band_bytes))
+    # the plane pack rides the kernel's scoped-vmem stack when XLA
+    # fuses its producer into the operand (observed in the B=8 batched
+    # program), so the band budget must leave room for it under the
+    # ~11.85M scoped limit
+    plane_bytes = np_ * hp * wq * 4
+    band_budget = max(2 * 2 ** 20,
+                      11 * 2 ** 20 - plane_bytes - 4 * 2 ** 20)
+    nbands = max(1, -(-full_bytes // min(max_band_bytes, band_budget)))
     bstep = _round_up(-(-oh // nbands), 8)
     bands = [(b * bstep, min((b + 1) * bstep, oh))
              for b in range(-(-oh // bstep))]
