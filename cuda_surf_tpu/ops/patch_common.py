@@ -316,6 +316,10 @@ def _emit_group_kp(meta_ref, fpar_ref, acc, out_ref, j, k, r0_t, c0_t, *,
     RW = 2 * RH
     if ablate is None:
         ablate = _ABLATE
+    if ablate == "noemit":   # probe: pure loop + scalar-read + store
+        out_ref[k] = (jnp.zeros((128,), jnp.float32)
+                      + meta_ref[2, k].astype(jnp.float32))
+        return
     cs = pl.multiple_of(meta_ref[1, k], 128)
     ixl_w = meta_ref[3, k] - cs
     isc = (meta_ref[2, k], ixl_w, meta_ref[4, k], meta_ref[5, k],
