@@ -63,8 +63,7 @@ def main():
         def f(ii, ix, iy, step, iscale, irad, e, fparams):
             return pw._run_supertile_res(
                 ii, ix, iy, step, iscale, irad, e, fparams, R=R,
-                cfg_s=cfg_s, unroll_emit=ab == "unroll",
-                ablate=None if ab in ("full", "unroll") else ab)
+                cfg_s=cfg_s, ablate=None if ab == "full" else ab)
         return jax.jit(f)
 
     a = (ii, ix, iy, step, iscale, irad, res_elig, fparams)

@@ -364,7 +364,7 @@ _RES_TILE = (256,  256,   256, 64,    63,       62)
 def _kernel_tiles_res(cnt_ref, start_ref, meta_ref, fpar_ref, limbs_hbm,
                       out_ref, planes, rw, acc, sem, *, R, RH, T, TX,
                       h_pad, w_pad, cfg_s, TE_R, TE_C, WC, TI_R, TI_C,
-                      m1, ablate=None, unroll_emit=False):
+                      m1, ablate=None):
     """Grid step = one tile window of the VMEM-resident limb planes."""
     t = pl.program_id(0)
     RW = 2 * RH
@@ -418,23 +418,14 @@ def _kernel_tiles_res(cnt_ref, start_ref, meta_ref, fpar_ref, limbs_hbm,
                            cfg_s=cfg_s, ablate=ablate)
             return c
 
-        if unroll_emit:
-            # all G chains in one block, masked: gives the scheduler
-            # independent per-keypoint chains to interleave
-            for j in range(G):
-                @pl.when(j < n_in)
-                def _(j=j):
-                    emit(j, 0)
-        else:
-            lax.fori_loop(0, n_in, emit, 0)
+        lax.fori_loop(0, n_in, emit, 0)
         return carry
 
     lax.fori_loop(0, (n_t + G - 1) // G, group_body, 0)
 
 
 def _run_supertile_res(ii, ix, iy, step, iscale, irad, elig, fparams, *,
-                       R, cfg_s, interpret=False, ablate=None,
-                       unroll_emit=False):
+                       R, cfg_s, interpret=False, ablate=None):
     """Descriptor rows for `elig` keypoints via the resident-planes
     single-level supertile (others zero).  Caller guarantees the limb
     planes fit the VMEM budget (see descriptor_rows)."""
@@ -489,8 +480,7 @@ def _run_supertile_res(ii, ix, iy, step, iscale, irad, elig, fparams, *,
     kernel = functools.partial(_kernel_tiles_res, R=R, RH=RH, T=T, TX=TX,
                                h_pad=h_pad, w_pad=w_pad, cfg_s=cfg_s,
                                TE_R=TE_R, TE_C=TE_C, WC=WC, TI_R=TI_R,
-                               TI_C=TI_C, m1=m1, ablate=ablate,
-                               unroll_emit=unroll_emit)
+                               TI_C=TI_C, m1=m1, ablate=ablate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
