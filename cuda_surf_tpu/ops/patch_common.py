@@ -329,35 +329,17 @@ def _emit_group_kp(meta_ref, fpar_ref, acc, out_ref, j, k, r0_t, c0_t, *,
         out_ref[k] = Aw[:1, :128].astype(jnp.float32)[0]
         return
     Aw = Aw - Aw[:, 0:1]
-    # ONE merged stage-B dot instead of 2 stencils x m2 limbs: balanced
-    # digits of Aw stacked along M, [cdy | cdx] along N; limb blocks
-    # recombine by shifts after the dot.  Same MXU tile passes, 1/6 the
-    # issue count.
-    digs = []
-    t = Aw
-    for li in range(m2):
-        if li == m2 - 1:
-            d = t
-        else:
-            d = ((t & 255) ^ 128) - 128
-            t = (t - d) >> 8
-        digs.append(d.astype(jnp.int8))
-    dstk = jnp.concatenate(digs, axis=0)              # (m2*RW, WC)
-    if ablate == "nocolw":   # timing probe: skip the weight build
-        cw = (lax.broadcasted_iota(jnp.int32, (WC, 256), 0)
-              == lax.broadcasted_iota(jnp.int32, (WC, 256), 1)
-              ).astype(jnp.int8)
-    else:
-        cw = _col_weights_cat(isc, R=R, WC=WC).astype(jnp.int8)
-    g = lax.dot_general(dstk, cw, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-    G = g[:RW]
-    for li in range(1, m2):
-        G = G + (g[li * RW:(li + 1) * RW] << (8 * li))
-    dyv = G[:RH, 0:128].astype(jnp.float32)
-    dxv = G[RH:, 128:256].astype(jnp.float32)
+    # NOTE round 5: a merged single stage-B dot (digits stacked along M,
+    # [cdy|cdx] along N) measured neutral AND its dx lane block
+    # miscompiled on hardware in two kernel contexts (rotated descriptor
+    # golden cosine 0.68; the grids-supertile experiment) while the
+    # interpreter was exact — reverted to the separate per-stencil dots.
+    cdy, cdx = _col_weights(0, isc, R=R, CC=WC,
+                            masked=ablate != "nocolw")
+    dyv = _dot_limbs(Aw[:RH], cdy, m2).astype(jnp.float32)
+    dxv = _dot_limbs(Aw[RH:], cdx, m2).astype(jnp.float32)
     if ablate == "nobin":
-        out_ref[k] = dyv[0] + dxv[0]
+        out_ref[k] = dyv[:1, :128][0] + dxv[:1, :128][0]
         return
     gscalars = (r0_t + meta_ref[2, k] - meta_ref[7, k],
                 c0_t + meta_ref[3, k],
