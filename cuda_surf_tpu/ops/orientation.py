@@ -142,8 +142,15 @@ def assign_orientations(ii: jnp.ndarray, cfg: SurfConfig,
     WS = np.zeros((NBIN, NBIN), np.float32)
     np.add.at(WS, (np.ravel(kmat % NBIN),
                    np.repeat(idx, len(js))), 1.0)
-    win_asums = pas @ jnp.asarray(WA)
-    win_sums = part_sums @ jnp.asarray(WS)
+    # full f32 precision: on TPU a default-precision matmul runs ONE
+    # bf16 pass (~2^-8 relative), which flips near-tie windows against
+    # the reference's scalar f32 sums (observed: two left.pgm keypoints
+    # with top-2 window gaps of 8.5e-4 picking the wrong window -> a
+    # pi-flipped orientation and descriptor cosine 0.68 vs the oracle)
+    win_asums = jnp.matmul(pas, jnp.asarray(WA),
+                           precision=lax.Precision.HIGHEST)
+    win_sums = jnp.matmul(part_sums, jnp.asarray(WS),
+                          precision=lax.Precision.HIGHEST)
 
     bins_np = np.asarray(bin_centers(), np.float32)
     half_w = np.float32(WINDOW / 2)
