@@ -34,6 +34,22 @@ ITERS = int(os.environ.get("SURF_BENCH_ITERS", "100"))
 def main():
     left = read_pgm(f"{DATA}/left.pgm")
     right = read_pgm(f"{DATA}/right.pgm")
+
+    # Tunnel-phase calibration: the tunneled TPU's per-dispatch floor
+    # drifts between ~0.7 and ~1.2+ ms on tens-of-minutes scales and
+    # inflates every number in this file proportionally (PERF.md round
+    # 5).  A trivial dispatch's round-trip time is recorded so readers
+    # can judge which phase this run landed in.
+    probe_x = jnp.zeros((8, 128), jnp.float32)
+    triv = jax.jit(lambda a: a.sum())
+    float(triv(probe_x))
+    disp_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(50):
+            o = triv(probe_x)
+        _ = float(o)
+        disp_best = min(disp_best, (time.perf_counter() - t0) / 50 * 1e3)
     # Demo config (main.cpp:187-204); keypoint capacity sized to the demo's
     # actual yield (a few thousand) rounded up -- identical outputs, static
     # shape small enough that the descriptor stage doesn't pay for dead
@@ -277,6 +293,7 @@ def main():
             "ransac_inliers": n_inl,
             "rotated_pair_ms": round(rotated_ms, 4),
             "keypoints": [n1, n2],
+            "dispatch_floor_ms": round(disp_best, 4),
             "device": str(jax.devices()[0]),
             "iters": ITERS,
         },
