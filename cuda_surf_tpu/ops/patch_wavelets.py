@@ -46,10 +46,15 @@ Two kernel modes:
   contractions for the upright path) and emit one 128-lane descriptor
   row per keypoint — 384x less HBM output traffic than the grids.
 
-Keypoints are bucketed by patch extent (powers of two from 128), each
-bucket running one pallas_call whose grid covers a static capacity in
-chunks; a dynamic-trip-count inner loop skips unused capacity, and patch
-DMAs are double-buffered against compute.
+Module layout (round 5): this file holds the SHARED-TILE kernels — the
+resident-planes supertile (`_run_supertile_res`: whole-image int8 limb
+planes copied to VMEM once, one 64px-margin level covering span<=63,
+no per-tile DMA) used for single frames that fit the VMEM budget, and
+the DMA-tile supertile (`_run_supertile`) used for frame-stacked /
+oversized images — plus the public wavelet_grids / descriptor_rows
+routing.  The span-bucketed per-keypoint fallback kernels live in
+:mod:`.patch_bucketed`; the weight builders, limb machinery and
+in-kernel binning they share live in :mod:`.patch_common`.
 """
 
 from __future__ import annotations
