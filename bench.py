@@ -190,6 +190,47 @@ def main():
         solver_used = "8pt"
         track_ms, track_ms_med, n_inl = time_track("8pt")
 
+    # Device-side windowed-BA cost as one jitted number (VERDICT r4
+    # weak #6: the BASELINE "detect+describe+match+BA" stack should be
+    # benchable on-device end to end; eval_terrain's wall time is
+    # host-bound on this 1-core box).  One Schur-complement LM step on
+    # a window-BA-shaped problem: 8 cameras x 512 points.
+    import numpy as _np
+
+    from cuda_surf_tpu.ba import BAProblem, BAState
+    from cuda_surf_tpu.ba.core import lm_step
+
+    _rng = _np.random.default_rng(0)
+    _nc, _npts = 8, 512
+    _X = _rng.uniform(-1, 1, (_npts, 3)) + [0, 0, 4]
+    _Rs = _np.stack([_np.eye(3)] * _nc)
+    _ts = _np.stack([[0.1 * c, 0, 0] for c in range(_nc)])
+    _ci = _np.tile(_np.arange(_nc), (_npts, 1))
+    _xc = _np.einsum("cij,pj->pci", _Rs, _X) + _ts[None]
+    _uv = _xc[..., :2] / _xc[..., 2:] + _rng.normal(0, 1e-3,
+                                                    (_npts, _nc, 2))
+    _prob = BAProblem(jnp.asarray(_ci, jnp.int32),
+                      jnp.asarray(_uv, jnp.float32),
+                      jnp.ones((_npts, _nc), bool))
+    _state = BAState(jnp.asarray(_Rs, jnp.float32),
+                     jnp.asarray(_ts, jnp.float32),
+                     jnp.asarray(_X, jnp.float32))
+    _step = jax.jit(lambda s, p: lm_step(s, p, jnp.float32(1e-3), _nc))
+    try:
+        _out = _step(_state, _prob)
+        jax.block_until_ready(_out.points)
+        ba_rounds = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(ITERS // 3):
+                _out = _step(_state, _prob)
+            _ = float(jnp.sum(_out.points))
+            ba_rounds.append(
+                (time.perf_counter() - t0) / (ITERS // 3) * 1e3)
+        ba_step_ms = min(ba_rounds)
+    except Exception:
+        ba_step_ms = None
+
     # BASELINE.json's primary metric is THROUGHPUT (frames/sec/chip)
     # for detect+describe+MATCH (the reference demo times both,
     # main.cpp:239-259): B frames in flight through one jitted program,
@@ -286,6 +327,8 @@ def main():
             "track_ms": round(track_ms, 4),
             "track_ms_median": round(track_ms_med, 4),
             "track_solver": solver_used,
+            "ba_step_ms": (round(ba_step_ms, 4)
+                           if ba_step_ms is not None else None),
             "detect_fit": fit_used,
             "detect_fit_probe_ms": {k: round(v, 3)
                                     for k, v in fit_ms.items()},
